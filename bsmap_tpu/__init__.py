@@ -1,0 +1,30 @@
+"""bsmap_tpu — a TPU-native bisulfite short-read alignment framework.
+
+A from-scratch JAX/XLA/Pallas reimplementation of the capabilities of BSMAP
+v2.6 (the classic C++ bisulfite mapper): asymmetric C->T-aware ungapped
+alignment of WGBS/RRBS reads against the four converted reference strands
+(BSW/BSWC/BSC/BSCC), single- and pair-end mapping, adapter/quality trimming,
+unique/random multi-hit reporting with reproducible selection, SAM/BSP output,
+and downstream per-cytosine methylation-ratio calling.
+
+Architecture (TPU-first, not a port):
+  * packed 2-bit genome + base-3 seed CSR index, device resident
+    (replicated or sharded over a jax.sharding.Mesh)
+  * batched reads verified by a vectorized bitwise XOR/popcount extension
+    kernel over (reads x candidate-loci) tiles
+  * an exact host "oracle" engine replicates the reference's sequential
+    control flow for the rare reads where bucket caps / repeat-abort
+    semantics matter, guaranteeing bit-identical output.
+
+Reference semantics are cited throughout as ``file:line`` into the BSMAP
+source tree (e.g. ``align.cpp:168``) so parity can be audited.
+"""
+
+import jax as _jax
+
+# The index and coordinate math use explicit 64-bit ints (genome coordinates,
+# reproducible xorshift RNG: utilities.cpp:40-50).  All hot arrays are
+# explicitly typed (u)int32, so enabling x64 does not widen the compute path.
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

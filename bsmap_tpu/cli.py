@@ -1,0 +1,260 @@
+"""Command-line driver with the reference's option surface (main.cpp:182-289).
+
+Supports both ``-x val`` and ``-x=val`` forms.  Output format is chosen by
+the -o suffix: .sam / .bam / anything-else = BSP (main.cpp:293-296).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from .index import (build_index, index_cache_key, load_index, save_index)
+from .output.sam import SamFormatter, sam_header
+from .params import MAXSNPS, Param, MAXHITS
+from .readio import BATCH_NUM, ReadStream
+from .reference import load_genome
+from .utils import RandR, StepTimer
+
+USAGE = """Usage: bsmap_tpu [options]
+       -a  <str>   query a file, FASTA/FASTQ/BAM format
+       -d  <str>   reference sequences file, FASTA format
+       -o  <str>   output alignment file, BSP/SAM/BAM format
+       -s  <int>   seed size, default=16 (WGBS), 12 (RRBS). min=8, max=16
+       -v  <int>   max mismatches per read (<=15), default=2
+       -w  <int>   max equal best hits to count (<=1000)
+       -B  <int>   start from the Nth read or pair, default 1
+       -E  <int>   end at the Nth read or pair
+       -I  <int>   index interval, default=4
+       -p  <int>   processors (accepted for compatibility)
+       -D  <str>   RRBS digestion site, e.g. C-CGG
+       -S  <int>   random seed for multi-hit selection (0 = clock)
+       -n  [0,1]   map to 2 forward strands (0) or all 4 (1)
+       -M  <str>   alignment transition, default TC
+       -q  <int>   quality trim threshold, default 0
+       -z  <int>   base quality zero, default 33
+       -f  <int>   filter reads with >n Ns, default 5
+       -A  <str>   3' adapter sequence
+       -L  <int>   map first N nucleotides
+       -r  [0,1]   repeat-hit reporting: 0 none, 1 random one
+       -R          print reference sequence (XR tag)
+       -u          report unmapped reads
+       -b  <str>   query b file (pair-end)
+       -m  <int>   min insert size, default 28
+       -x  <int>   max insert size, default 500
+       -2  <str>   output for unpaired PE hits (BSP mode)
+       --engine {auto,host,device}   alignment engine (default auto)
+       --index-cache <dir>           persist/reuse the seed index
+       -h          help
+"""
+
+
+class Options:
+    def __init__(self) -> None:
+        self.param = Param()
+        self.query_a = ""
+        self.query_b = ""
+        self.ref_file = ""
+        self.out_file = ""
+        self.out_unpair = ""
+        self.engine = "auto"
+        self.index_cache = os.environ.get("BSMAP_TPU_INDEX_CACHE", "")
+
+
+def parse_args(argv: list[str]) -> Options:
+    o = Options()
+    p = o.param
+    i = 0
+
+    def val(flag_takes_value=True):
+        nonlocal i
+        a = argv[i]
+        if len(a) > 2 and a[2] == "=":
+            return a[3:]
+        i += 1
+        return argv[i]
+
+    while i < len(argv):
+        a = argv[i]
+        if a == "--engine":
+            i += 1
+            o.engine = argv[i]
+        elif a.startswith("--engine="):
+            o.engine = a.split("=", 1)[1]
+        elif a == "--index-cache":
+            i += 1
+            o.index_cache = argv[i]
+        elif a.startswith("--index-cache="):
+            o.index_cache = a.split("=", 1)[1]
+        elif a.startswith("-") and len(a) >= 2:
+            c = a[1]
+            if c == "a":
+                o.query_a = val()
+            elif c == "b":
+                o.query_b = val()
+                p.pairend = 1
+            elif c == "d":
+                o.ref_file = val()
+            elif c == "o":
+                o.out_file = val()
+            elif c == "2":
+                o.out_unpair = val()
+            elif c == "s":
+                p.set_seed_size(int(val()))
+                if p.RRBS_flag:
+                    p.set_seed_size(12)
+            elif c == "m":
+                p.min_insert = int(val())
+            elif c == "x":
+                p.max_insert = int(val())
+            elif c == "r":
+                p.report_repeat_hits = int(val())
+            elif c == "I":
+                p.index_interval = int(val())
+                if p.RRBS_flag:
+                    p.index_interval = 1
+                if p.index_interval > 16:
+                    sys.exit("index interval exceeds max value:16")
+            elif c == "v":
+                p.max_snp_num = int(val())
+                if p.max_snp_num > MAXSNPS:
+                    sys.exit(f"number of mismatches exceeds max value:{MAXSNPS}")
+            elif c == "w":
+                p.max_num_hits = int(val())
+                if p.max_num_hits > MAXHITS:
+                    sys.exit(f"number of multi-hits exceeds max value:{MAXHITS}")
+            elif c == "q":
+                p.qual_threshold = int(val())
+            elif c == "f":
+                p.max_ns = int(val())
+            elif c == "z":
+                p.zero_qual = int(val())
+            elif c == "p":
+                p.num_procs = int(val())
+            elif c == "A":
+                p.adapters.append(val())
+            elif c == "R":
+                p.out_ref = 1
+            elif c == "u":
+                p.out_unmap = 1
+            elif c == "B":
+                p.read_start = max(int(val()), 1)
+            elif c == "E":
+                p.read_end = int(val())
+            elif c == "D":
+                p.set_digestion_site(val())
+            elif c == "M":
+                v = val()
+                p.set_align(v[0], v[1])
+            elif c == "L":
+                p.max_readlen = int(val())
+            elif c == "S":
+                p.randseed = int(val())
+            elif c == "n":
+                p.chains = 1 if int(val()) != 0 else 0
+            elif c == "h":
+                print(USAGE)
+                sys.exit(0)
+            else:
+                sys.exit(f"unknown option: {a}")
+        else:
+            sys.exit(f"unknown option: {a}")
+        i += 1
+    p.init_mapping()
+    return o
+
+
+def get_index(o: Options, genome, log=print):
+    p = o.param
+    if o.index_cache:
+        os.makedirs(o.index_cache, exist_ok=True)
+        key = index_cache_key(o.ref_file, p)
+        path = os.path.join(o.index_cache, f"idx_{key}.npz")
+        if os.path.exists(path):
+            log(f"loading cached index {path}")
+            return load_index(path)
+        idx = build_index(genome, p)
+        save_index(path, idx)
+        return idx
+    return build_index(genome, p)
+
+
+def make_engine(o: Options, genome, index):
+    if o.engine != "host":
+        try:
+            from .engine.device_engine import DeviceEngine
+            return DeviceEngine(genome, index, o.param)
+        except ImportError:
+            if o.engine == "device":
+                raise
+    from .engine.host_engine import HostEngine
+    return HostEngine(genome, index, o.param)
+
+
+def run(argv: list[str]) -> int:
+    if not argv:
+        print(USAGE)
+        return 1
+    o = parse_args(argv)
+    p = o.param
+    timer = StepTimer()
+    if o.out_file.endswith(".sam"):
+        p.out_sam = 1
+    elif o.out_file.endswith(".bam"):
+        p.out_sam = 2
+
+    if not o.ref_file:
+        sys.exit("fatal error: failed to open ref file")
+    genome = load_genome(o.ref_file, p)
+    p.total_ref_seq = genome.n_chr
+    print(f"Load in {genome.n_chr} db seqs, total size {genome.sum_length} bp."
+          f" {timer.total():.1f} secs passed")
+    index = get_index(o, genome)
+    print(f"Create seed table. {timer.total():.1f} secs passed")
+
+    if o.query_a and o.query_b:
+        from .engine.pair_pipeline import run_pair_end
+        n = run_pair_end(o, genome, index)
+    else:
+        n = run_single_end(o, genome, index)
+    print(f"Total time consumed:  {timer.total():.1f} secs")
+    return 0
+
+
+def run_single_end(o: Options, genome, index) -> int:
+    p = o.param
+    engine = make_engine(o, genome, index)
+    fmt = SamFormatter(genome, p, RandR(os.getpid() * int(__import__('time').time()) & 0xFFFFFFFF))
+    stream = ReadStream(o.query_a, p, readset=0)
+    timer = StepTimer()
+    sam_out = o.out_file if p.out_sam != 2 else o.out_file  # .bam: convert after
+    with open(sam_out, "w") as fout:
+        if p.out_sam:
+            fout.write(sam_header(genome))
+        total = 0
+        while True:
+            batch = stream.next_batch(BATCH_NUM)
+            if not batch:
+                break
+            fout.write(engine.format_batch(batch, fmt)
+                       if hasattr(engine, "format_batch")
+                       else "".join(fmt.string_align(r, engine.align(r))
+                                    for r in batch))
+            total += len(batch)
+            print(f"{total} reads finished. {timer.total():.1f} secs passed")
+    stream.close()
+    denom = max(total, 1)
+    print(f"Total number of aligned reads: {fmt.n_aligned} "
+          f"({100.0 * fmt.n_aligned / denom:.2g}%)")
+    if p.out_sam == 2:
+        from .output.bam import sam_to_bam
+        sam_to_bam(o.out_file)
+    return 0
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh so the
+multi-chip sharding paths are exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REF_BUILD = pathlib.Path("/tmp/bsmap_ref/bsmap")
+
+
+@pytest.fixture(scope="session")
+def reference_binary():
+    """The compiled reference BSMAP binary (built out-of-repo in /tmp) for
+    golden-output comparisons.  Skips golden tests when unavailable."""
+    if REF_BUILD.exists():
+        return str(REF_BUILD)
+    pytest.skip("reference bsmap binary not built at /tmp/bsmap_ref")
+
+
+@pytest.fixture(scope="session")
+def tmp_data(tmp_path_factory):
+    return tmp_path_factory.mktemp("data")
+
+
+def simulate(out_dir, **kw):
+    """Run tools/simulate.py with kwargs."""
+    args = [sys.executable, str(REPO / "tools" / "simulate.py")]
+    for k, v in kw.items():
+        flag = "--" + k.replace("_", "-")
+        if isinstance(v, bool):
+            if v:
+                args.append(flag)
+        else:
+            args.extend([flag, str(v)])
+    subprocess.run(args, check=True, cwd=out_dir)
