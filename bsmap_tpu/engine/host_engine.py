@@ -211,8 +211,11 @@ class HostEngine:
         filtered, budget = filter_read(read, p)
         if filtered:
             return SEResult(filtered=True)
-        res = self._run_align(read, budget)
-        return res
+        return self.run_align(read, budget)
+
+    def run_align(self, read: Read, budget: int) -> SEResult:
+        """Align an already-filtered read with the given mismatch budget."""
+        return self._run_align(read, budget)
 
     def _run_align(self, read: Read, budget: int) -> SEResult:
         """RunAlign (align.cpp:435-452)."""

@@ -110,6 +110,17 @@ class SamFormatter:
                               hit=res.chits[ii][j - int(res.n_hit[ii])],
                               insert_size=0, res=res)
 
+    def emit_device(self, read: Read, v) -> str:
+        """StringAlign equivalent for a device fast-path result whose hit
+        selection already happened on device (same myrand hash)."""
+        if v.h00_found:
+            self.stale_h00 = v.h00
+        if not v.found:
+            return self.s_out_hit(read, chain=0, n=0, nsnps=v.level,
+                                  hit=self.stale_h00, insert_size=0, res=v)
+        return self.s_out_hit(read, chain=v.chain, n=v.ssum, nsnps=v.level,
+                              hit=v.hit, insert_size=0, res=v)
+
     # -- s_OutHit (align.cpp:631-765) ----------------------------------------
 
     def s_out_hit(self, read: Read, chain: int, n: int, nsnps: int,
