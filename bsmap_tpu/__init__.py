@@ -20,11 +20,24 @@ Reference semantics are cited throughout as ``file:line`` into the BSMAP
 source tree (e.g. ``align.cpp:168``) so parity can be audited.
 """
 
+import os as _os
+
 import jax as _jax
 
 # The index and coordinate math use explicit 64-bit ints (genome coordinates,
 # reproducible xorshift RNG: utilities.cpp:40-50).  All hot arrays are
 # explicitly typed (u)int32, so enabling x64 does not widen the compute path.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: kernel shapes are stable across runs, so
+# paying the (slow, remote on some TPU setups) compile once is enough.
+_cache_dir = _os.environ.get("BSMAP_TPU_JIT_CACHE",
+                             _os.path.expanduser("~/.cache/bsmap_tpu_jit"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is best-effort
+    pass
 
 __version__ = "0.1.0"

@@ -3,35 +3,31 @@
 Design (TPU-first rather than a port of align.cpp):
 
   * The genome lives on device as one uint32 array ``catcat`` =
-    refcat ++ crefcat (2-bit packed, 16 bases/word) plus the CSR seed index
-    (offsets / Watson-counts / entry coordinates).  All large arrays are
-    passed to the jitted kernels as runtime buffers (never closed over as
-    constants — the compiled program must stay small).
-  * A batch of reads becomes fixed-shape arrays: 2-bit packed read words at
-    phase 0 for both chains, per-read lengths/budgets.  Instead of the
-    reference's 16-phase read shifting (align.cpp:82-87), candidate reference
-    windows are gathered and phase-aligned with two shifts — the mismatch
-    lanes come out identical.
-  * Seed scheduling (ReorderSeed/AdjustSeedStartArray, align.cpp:454-577)
-    is computed for all reads at once from a (reads x segments x offsets)
-    bucket-cost table.
-  * Candidate enumeration lays every read's bucket entries into a fixed
-    (reads x C) slot grid in exact reference discovery order (segment rank
-    major, then read chain, then interval phase, then bucket entry), so
-    dedup-by-first-occurrence and multi-hit selection reproduce the
-    sequential semantics.
-  * Verification is a batched bitwise XOR/popcount over
-    (reads x candidates x 10 words) — the CountMismatch kernel
-    (align.h:167-200) as pure VPU lane math.
-  * The progressive-sensitivity early exit (align.cpp:445-449) is recast as
-    a per-read prefix-min over segment ranks; acceptance is masked to ranks
-    <= the stopping rank.
+    refcat ++ crefcat (2-bit packed, 16 bases/word) plus the CSR seed index.
+    All large arrays are runtime buffers (never baked into the program).
+  * Stage 1 (read axis): pack both read chains, compute per-position seed
+    values and bucket costs, and run the full seed schedule
+    (ReorderSeed/AdjustSeedStartArray/seedindex, align.cpp:454-577).  The
+    reference's CountSeeds sums turn out to be *sliding-window sums* of the
+    per-position bucket costs (the probed positions for segment n are the
+    I consecutive offsets [n*S, n*S+I)), so the whole cost table is two
+    cumsums — no gathers.
+  * Stage 2 (candidate axis): all reads' bucket entries are laid out on one
+    global candidate axis (total work proportional to the actual number of
+    candidate loci, load-balanced across the power-law bucket sizes), in
+    exact reference discovery order (read, segment rank, chain, phase,
+    bucket entry).  Each candidate gathers its 11 reference words, gets
+    phase-aligned with two shifts, and is scored by the bitwise XOR/popcount
+    CountMismatch lane math (align.h:167-200).  Dedup, the
+    progressive-sensitivity early exit (align.cpp:445-449), per-level
+    counts and reproducible multi-hit selection are sort/scan/scatter ops
+    on the candidate axis.
 
 Exactness: the fast path assumes a static mismatch threshold (no bucket-cap
 tightening) and no -r 0 abort.  Reads where those sequential semantics could
-change anything are detected (level count >= max_num_hits, slot-capacity
+change anything are detected (level count >= max_num_hits, candidate
 overflow, -r 0 multi-hits) and replayed on the exact host engine — a tiny
-fraction of reads, preserving bit parity at batch throughput.
+fraction, preserving bit parity at batch throughput.
 """
 
 from __future__ import annotations
@@ -52,9 +48,14 @@ from ..reference import PackedGenome
 from ..trim import filter_read
 from .host_engine import HostEngine, SEResult
 
+import os as _os
+
 MAXSEG = MAXSNPS + 1          # max seed segments per read
-DEV_BATCH = 4096              # reads per device dispatch
-CAP_CLASSES = (256, 1024, 4096, 16384)  # candidate-slot capacities
+# reads per device dispatch / candidate capacity per dispatch (fixed shapes:
+# one compiled program, no mid-chunk host sync); env-overridable so CPU test
+# runs can use small, fast-to-compile shapes.
+DEV_BATCH = int(_os.environ.get("BSMAP_TPU_DEV_BATCH", 16384))
+CANDS_FIXED = int(_os.environ.get("BSMAP_TPU_CANDS", 1 << 17))
 BIGLEVEL = 99
 
 
@@ -69,7 +70,7 @@ class Cfg(NamedTuple):
     S: int
     I: int
     NB: int
-    SEEDPOS: int
+    POSMAX: int            # seed positions considered (<= FIXSIZE - S + 1)
     chains: int
     max_num_hits: int
     report_repeat_hits: int
@@ -79,16 +80,13 @@ class Cfg(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
-# jitted kernels (pure functions; big arrays are runtime args)
+# stage 1: read-axis pack + schedule
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _schedule_kernel(cfg: Cfg, prof_a, d_offsets, d_wcounts, rc_code,
-                     codes, regs, lens, budgets, readsets, rc_n_code):
-    p_chains = bool(cfg.chains)
+def _schedule_kernel_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code,
+                          rc_n_code, codes, regs, lens, budgets, readsets):
     B = codes.shape[0]
-    S, I = cfg.S, cfg.I
-    SEEDPOS = cfg.SEEDPOS
+    S, I, P = cfg.S, cfg.I, cfg.POSMAX
     pos = jnp.arange(FIXSIZE, dtype=jnp.int32)
 
     # --- reverse-complement chain (ConvertBinaySeq align.cpp:131-161) -------
@@ -105,45 +103,55 @@ def _schedule_kernel(cfg: Cfg, prof_a, d_offsets, d_wcounts, rc_code,
     qw = jnp.stack([_pack(codes), _pack(ccodes)], axis=1)
     rw = jnp.stack([_pack(regs), _pack(cregs)], axis=1)
 
-    sf = _seed_array(codes, S, SEEDPOS)
-    sc = _seed_array(ccodes, S, SEEDPOS)
+    sf = _seed_array(codes, S, P)           # (B, P) int32 seed values
+    sc = _seed_array(ccodes, S, P)
 
     seedseg = jnp.minimum((lens - I + 1) // S, budgets + 1)
     seedseg = jnp.maximum(seedseg, 0)
     max_off = (lens - I + 1) % S
 
-    flag_f = (readsets < 2) | p_chains
-    flag_c = (readsets == 2) | p_chains
+    flag_f = (readsets < 2) | bool(cfg.chains)
+    flag_c = (readsets == 2) | bool(cfg.chains)
 
     n_i = jnp.arange(MAXSEG, dtype=jnp.int32)
     off_i = jnp.arange(S, dtype=jnp.int32)
-    ph_i = jnp.arange(I, dtype=jnp.int32)
 
     def chain_schedule(sarr):
-        # cost table T[b, n, off] = CountSeeds(n, off) (align.cpp:549-556)
-        idx = (prof_a[:, None, :] + off_i[None, :, None]
-               - ph_i[None, None, :])
-        idx_c = jnp.clip(idx, 0, SEEDPOS - 1)
-        sv = sarr[:, idx_c]                       # (B, 16, S, I)
-        c = d_offsets[sv + 1] - d_offsets[sv]
-        # reference cost includes the +2 CSR header slots (dbseq.cpp:381)
-        c = jnp.where(c > 0, c + 2, 0)
-        T = c.sum(axis=-1).astype(jnp.int64)      # (B, 16, S)
+        # per-position bucket data: the only random-access gathers of stage 1
+        # (one 16-byte row per position: offset/count/wcount packed together)
+        rows = d_kmer_tab[sarr]              # (B, P, 4) int32
+        o0 = rows[..., 0]
+        cnt = rows[..., 1]
+        wc = rows[..., 2]
+        # reference cost includes the +2 CSR header slots (dbseq.cpp:381).
+        # All cost sums are WRAPPING uint32 like the reference's bit32_t
+        # totals (align.cpp:455,507) — also keeps the TPU program int64-free.
+        cost = jnp.where(cnt > 0, cnt + 2, 0).astype(jnp.uint32)
 
+        # CountSeeds(n, off) = sum of cost over positions [n*S+off,
+        # n*S+off+I): a sliding-window sum (see module docstring).
+        WLEN = MAXSEG * S + I
+        cost_p = jnp.zeros((B, WLEN + 1), jnp.uint32)
+        cost_p = cost_p.at[:, 1: P + 1].set(cost)
+        cs = jnp.cumsum(cost_p, axis=1)
+        Ws = cs[:, I:] - cs[:, :-I]          # (B, MAXSEG*S); W[k]=sum k..k+I-1
+        T = Ws[:, : MAXSEG * S].reshape(B, MAXSEG, S)
+
+        BIGU = jnp.uint32(0xFFFFFFFF)
         seg_mask = (n_i[None, :] < seedseg[:, None])
-        tot = jnp.where(seg_mask[:, :, None], T, 0).sum(axis=1)
+        tot = jnp.where(seg_mask[:, :, None], T, 0).sum(axis=1,
+                                                        dtype=jnp.uint32)
         off_ok = off_i[None, :] < max_off[:, None]
-        tot_m = jnp.where(off_ok, tot, jnp.int64(1) << 60)
+        tot_m = jnp.where(off_ok, tot, BIGU)
         s_off = jnp.where(max_off > 0,
                           jnp.argmin(tot_m, axis=1), 0).astype(jnp.int32)
 
         # zig-zag per-segment refinement (align.cpp:506-547)
-        start_arr = jnp.broadcast_to(s_off[:, None], (B, MAXSEG))
-        for it in range(MAXSEG):
-            ptr = jnp.where(it % 2 == 0, it // 2,
-                            seedseg - 1 - it // 2).astype(jnp.int32)
+        def zig_body(it, start_arr):
+            half = it // 2
+            ptr = jnp.where(it % 2 == 0, half, seedseg - 1 - half)
             active = (it < seedseg)
-            ptr_c = jnp.clip(ptr, 0, MAXSEG - 1)
+            ptr_c = jnp.clip(ptr, 0, MAXSEG - 1).astype(jnp.int32)
             prev = jnp.take_along_axis(
                 start_arr, jnp.clip(ptr_c - 1, 0, MAXSEG - 1)[:, None],
                 axis=1)[:, 0]
@@ -156,151 +164,188 @@ def _schedule_kernel(cfg: Cfg, prof_a, d_offsets, d_wcounts, rc_code,
                 T, ptr_c[:, None, None], axis=1)[:, 0, :]   # (B, S)
             rng_ok = (off_i[None, :] >= lo[:, None]) & \
                      (off_i[None, :] <= hi[:, None])
-            costs_m = jnp.where(rng_ok, costs, jnp.int64(1) << 60)
+            costs_m = jnp.where(rng_ok, costs, BIGU)
             best = jnp.argmin(costs_m, axis=1).astype(jnp.int32)
             onehot = (n_i[None, :] == ptr_c[:, None]) & active[:, None]
-            start_arr = jnp.where(onehot, best[:, None], start_arr)
+            return jnp.where(onehot, best[:, None], start_arr)
 
-        # segment ordering by bucket cost (seedindex, align.cpp:471-503)
+        start_arr = jnp.broadcast_to(s_off[:, None], (B, MAXSEG))
+        start_arr = jax.lax.fori_loop(0, MAXSEG, zig_body, start_arr)
+
+        # segment ordering by bucket cost (seedindex, align.cpp:471-503).
+        # std::sort on pair<int,int>: cost compared as SIGNED int, ties by
+        # segment id.  Two-key sort without int64: sort (cost, n) packed as
+        # (cost^sign-flip) * 32 + n in uint64-free fashion — sort n as the
+        # low 5 bits of a uint32 only when cost < 2^26; larger (wrapped)
+        # costs are astronomically repetitive seeds, ordered by a second
+        # masked pass.  Simpler: lexicographic via two stable sorts.
         cost_n = jnp.take_along_axis(T, start_arr[:, :, None],
-                                     axis=2)[:, :, 0]        # (B, 16)
-        key = jnp.where(seg_mask, cost_n * 32 + n_i[None, :],
-                        (jnp.int64(1) << 60) + n_i[None, :])
-        order = (jnp.sort(key, axis=1) % 32).astype(jnp.int32)
-        return start_arr, order
+                                     axis=2)[:, :, 0]        # (B, 16) uint32
+        # signed compare: flip the sign bit to order as int32
+        cost_s = cost_n ^ jnp.uint32(0x80000000)
+        key_hi = jnp.where(seg_mask, cost_s, BIGU)
+        # stable sort by (key_hi, n): sort indices n (already ascending) by
+        # key_hi with a stable sort
+        order = jnp.argsort(key_hi, axis=1, stable=True).astype(jnp.int32)
+        return start_arr, order, o0, cnt, wc
 
-    start_f, order_f = chain_schedule(sf)
-    start_c, order_c = chain_schedule(sc)
+    start_f, order_f, o0_f, cnt_f, wc_f = chain_schedule(sf)
+    start_c, order_c, o0_c, cnt_c, wc_c = chain_schedule(sc)
 
     # --- slot grid in discovery order: (rank, chain, phase) -----------------
     slot_rank = jnp.repeat(n_i, 2 * I)                       # (NB,)
     slot_chain = jnp.tile(jnp.repeat(jnp.arange(2, dtype=jnp.int32), I),
                           MAXSEG)
-    slot_phase = jnp.tile(ph_i, 2 * MAXSEG)
+    slot_phase = jnp.tile(jnp.arange(I, dtype=jnp.int32), 2 * MAXSEG)
 
-    def slot_desc(start_arr, order, sarr):
+    def slot_desc(start_arr, order, o0_p, cnt_p, wc_p):
         mode = order[:, slot_rank]                           # (B, NB)
         a = prof_a[mode, slot_phase[None, :]]
         st = jnp.take_along_axis(start_arr, mode, axis=1)
         k = a + st - slot_phase[None, :]
-        k_c = jnp.clip(k, 0, SEEDPOS - 1)
-        sv = jnp.take_along_axis(sarr, k_c, axis=1)
+        k_c = jnp.clip(k, 0, P - 1)
         h = -a + slot_phase[None, :] - st
-        return sv, h
+        return (jnp.take_along_axis(o0_p, k_c, axis=1),
+                jnp.take_along_axis(cnt_p, k_c, axis=1),
+                jnp.take_along_axis(wc_p, k_c, axis=1), h)
 
-    sv_f, h_f = slot_desc(start_f, order_f, sf)
-    sv_c, h_c = slot_desc(start_c, order_c, sc)
-    sv = jnp.where(slot_chain[None, :] == 0, sv_f, sv_c)
-    h = jnp.where(slot_chain[None, :] == 0, h_f, h_c)
+    o0f, cntf, wcf, hf = slot_desc(start_f, order_f, o0_f, cnt_f, wc_f)
+    o0c, cntc, wcc, hc = slot_desc(start_c, order_c, o0_c, cnt_c, wc_c)
+    is_c = (slot_chain[None, :] == 1)
+    off0 = jnp.where(is_c, o0c, o0f)
+    cnt = jnp.where(is_c, cntc, cntf)
+    wcnt = jnp.where(is_c, wcc, wcf)
+    h = jnp.where(is_c, hc, hf)
 
-    chain_ok = jnp.where(slot_chain[None, :] == 0, flag_f[:, None],
-                         flag_c[:, None])
+    chain_ok = jnp.where(is_c, flag_c[:, None], flag_f[:, None])
     valid = chain_ok & (slot_rank[None, :] < seedseg[:, None])
-    off0 = d_offsets[sv]
-    cnt = jnp.where(valid, d_offsets[sv + 1] - off0, 0)
-    wcnt = d_wcounts[sv]
+    cnt = jnp.where(valid, cnt, 0)
     cum = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32),
          jnp.cumsum(cnt, axis=1, dtype=jnp.int32)], axis=1)
     totals = cum[:, -1]
-    return (qw, rw, h, off0, wcnt, cum, totals, slot_chain, slot_rank)
+    # int32 cumsum may wrap for absurdly repetitive batches; the host checks
+    # the exact total and falls back before the verify stage in that case.
+    read_cum = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(totals, dtype=jnp.int32)])
+    return qw, rw, h, off0, wcnt, cum, totals, read_cum
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "C"))
-def _verify_kernel(cfg: Cfg, C: int, d_catcat, d_anchors, d_sizes, d_rcoff,
-                   d_locs, qw, rw, lens, budgets, read_idx,
-                   h, off0, wcnt, cum, totals, slot_chain, slot_rank):
+# ---------------------------------------------------------------------------
+# stage 2: candidate-axis enumerate + verify + control-flow emulation
+# ---------------------------------------------------------------------------
+
+def _verify_kernel_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
+                        d_rcoff, d_locs, qw, rw, lens, budgets, read_idx,
+                        h, off0, wcnt, cum, totals, read_cum):
     B = qw.shape[0]
     W = cfg.W
     NB = cfg.NB
-    slot = jnp.arange(C, dtype=jnp.int32)
+    sidx = jnp.arange(CANDS, dtype=jnp.int32)
 
-    b = jax.vmap(lambda cu, q: jnp.searchsorted(cu, q, side="right"))(
-        cum, jnp.broadcast_to(slot[None, :], (B, C))) - 1
-    b = jnp.clip(b, 0, NB - 1)
-    in_total = slot[None, :] < totals[:, None]
-    e = slot[None, :] - jnp.take_along_axis(cum, b, axis=1)
-    g_off0 = jnp.take_along_axis(off0, b, axis=1)
-    g_wc = jnp.take_along_axis(wcnt, b, axis=1)
-    g_h = jnp.take_along_axis(h, b, axis=1)
-    chain = jnp.take_along_axis(
-        jnp.broadcast_to(slot_chain[None, :], (B, NB)), b, axis=1)
-    rank = jnp.take_along_axis(
-        jnp.broadcast_to(slot_rank[None, :], (B, NB)), b, axis=1)
+    rid = (jnp.searchsorted(read_cum, sidx, side="right") - 1).astype(
+        jnp.int32)
+    rid = jnp.clip(rid, 0, B - 1)
+    live = sidx < read_cum[-1]
+    local = (sidx - read_cum[rid]).astype(jnp.int32)
+
+    # local slot -> bucket: binary search over this read's bucket cumsum,
+    # with flat single-element gathers (row gathers are slow on TPU).
+    cum_flat = cum.reshape(-1)
+    row = rid * (NB + 1)
+    lo = jnp.zeros(CANDS, jnp.int32)
+    hi = jnp.full((CANDS,), NB, jnp.int32)
+    nsteps = int(np.ceil(np.log2(NB + 1)))
+    for _ in range(nsteps):
+        mid = (lo + hi + 1) // 2
+        v = cum_flat[row + mid]
+        take = local >= v
+        lo = jnp.where(take, mid, lo)
+        hi = jnp.where(take, hi, mid - 1)
+    b = jnp.clip(lo, 0, NB - 1)
+    e = local - cum_flat[row + b]
+    flat = rid * NB + b
+    g_off0 = off0.reshape(-1)[flat]
+    g_wc = wcnt.reshape(-1)[flat]
+    g_h = h.reshape(-1)[flat]
+    I = cfg.I
+    chain = (b // I) % 2
+    rank = b // (2 * I)
 
     entry = d_locs[jnp.clip(g_off0 + e, 0, d_locs.shape[0] - 1)]
     crick = e >= g_wc
-    g = entry + g_h                                   # (B, C) int32
+    g = entry + g_h                                     # (CANDS,) int32
 
     # --- gather + phase-align the reference windows -------------------------
     wbase = (g >> 4) + jnp.where(crick, jnp.int32(W), 0)
     kk = jnp.arange(FIXELEMENT + 1, dtype=jnp.int32)
-    widx = jnp.clip(wbase[:, :, None] + kk[None, None, :], 0, 2 * W - 1)
-    words = d_catcat[widx]                            # (B, C, 11) u32
+    widx = jnp.clip(wbase[:, None] + kk[None, :], 0, 2 * W - 1)
+    words = d_catcat[widx]                              # (CANDS, 11) u32
     z = (g & 15).astype(jnp.uint32)
-    sl = (z * 2)[:, :, None]
-    w_lo = words[:, :, :FIXELEMENT] << sl
-    w_hi = words[:, :, 1:] >> (jnp.uint32(32) - sl)
-    sref = jnp.where(sl == 0, words[:, :, :FIXELEMENT], w_lo | w_hi)
+    sl = (z * 2)[:, None]
+    w_lo = words[:, :FIXELEMENT] << sl
+    w_hi = words[:, 1:] >> (jnp.uint32(32) - sl)
+    sref = jnp.where(sl == 0, words[:, :FIXELEMENT], w_lo | w_hi)
 
     # --- CountMismatch lanes (align.h:167-200) ------------------------------
-    q = qw[jnp.arange(B)[:, None], chain]              # (B, C, 10)
-    r = rw[jnp.arange(B)[:, None], chain]
+    q = qw[rid, chain]                                  # (CANDS, 10)
+    r = rw[rid, chain]
     xc = ((~sref) << jnp.uint32(1)) | sref | jnp.uint32(0x55555555)
     x = ((q & xc) ^ sref) & r
     lanes = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
     wmm = jax.lax.population_count(lanes).sum(axis=-1).astype(jnp.int32)
 
     # --- coordinate transform + bounds (align.cpp:271-291) ------------------
-    c = jnp.clip(jnp.searchsorted(d_anchors, g.ravel(),
-                                  side="right").reshape(B, C) - 1,
+    c = jnp.clip(jnp.searchsorted(d_anchors, g, side="right") - 1,
                  0, cfg.n_chr - 1).astype(jnp.int32)
+    llen = lens[rid]
     loc_local = g - d_anchors[c]
-    wloc = jnp.where(crick, d_rcoff[c] - lens[:, None] - loc_local,
-                     loc_local)
-    in_bounds = (wloc >= 0) & (wloc + lens[:, None] <= d_sizes[c])
+    wloc = jnp.where(crick, d_rcoff[c] - llen - loc_local, loc_local)
+    in_bounds = (wloc >= 0) & (wloc + llen <= d_sizes[c])
 
-    eligible = in_total & in_bounds & (wmm <= budgets[:, None])
+    eligible = live & in_bounds & (wmm <= budgets[rid])
 
-    # --- dedup by (chr, watson_loc), first discovery wins -------------------
-    key = (c.astype(jnp.int64) << 32) | wloc.astype(jnp.int64)
-    skey = jnp.where(eligible, key * C + slot[None, :],
-                     (jnp.int64(1) << 62) + slot[None, :])
-    perm = jnp.argsort(skey, axis=1)
-    sk_sorted = jnp.take_along_axis(skey, perm, axis=1)
-    kpart = sk_sorted // C
+    # --- dedup by (read, chr, watson_loc): first discovery wins -------------
+    # lexicographic (rid, chr, wloc) grouping via three stable int32 sorts
+    # (least-significant key first); ties stay in discovery order.  Avoiding
+    # int64 sort keys keeps the TPU program fast to compile and run.
+    kc = jnp.where(eligible, c, -1)
+    kw = jnp.where(eligible, wloc, sidx)
+    perm = jnp.argsort(kw, stable=True)
+    perm = perm[jnp.argsort(kc[perm], stable=True)]
+    perm = perm[jnp.argsort(rid[perm], stable=True)]
+    r_s, c_s, w_s = rid[perm], kc[perm], kw[perm]
     first_sorted = jnp.concatenate(
-        [jnp.ones((B, 1), bool), kpart[:, 1:] != kpart[:, :-1]], axis=1)
-    inv = jnp.argsort(perm, axis=1)
-    first = jnp.take_along_axis(first_sorted, inv, axis=1)
-    acc_pre = eligible & first
+        [jnp.ones((1,), bool),
+         (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+         | (w_s[1:] != w_s[:-1])])
+    first = jnp.zeros(CANDS, bool).at[perm].set(first_sorted)
+    acc_pre = eligible & first & (kc >= 0)
 
     # --- progressive-sensitivity early exit (align.cpp:445-449) -------------
     lev = jnp.where(acc_pre, wmm, BIGLEVEL)
-    r_i = jnp.arange(MAXSEG, dtype=jnp.int32)
-    minw_rank = jnp.stack(
-        [jnp.min(jnp.where(rank == rr, lev, BIGLEVEL), axis=1)
-         for rr in range(MAXSEG)], axis=1)             # (B, 16)
+    minw_rank = jnp.full((B, MAXSEG), BIGLEVEL, jnp.int32).at[
+        rid, rank].min(lev)
     prefmin = jax.lax.associative_scan(jnp.minimum, minw_rank, axis=1)
+    r_i = jnp.arange(MAXSEG, dtype=jnp.int32)
     stopped = prefmin <= r_i[None, :]
     any_stop = stopped.any(axis=1)
     s_star = jnp.where(any_stop, jnp.argmax(stopped, axis=1), MAXSEG - 1)
-    accepted = acc_pre & (rank <= s_star[:, None])
+    accepted = acc_pre & (rank <= s_star[rid])
 
     # --- per-level/chain counts ---------------------------------------------
-    counts = jnp.stack(
-        [jnp.stack(
-            [jnp.sum(accepted & (wmm == lv) & (chain == ch), axis=1)
-             for ch in range(2)], axis=1)
-         for lv in range(MAXSEG)], axis=1).astype(jnp.int32)  # (B,16,2)
+    label = jnp.where(accepted, wmm * 2 + chain, 2 * MAXSEG)
+    counts_flat = jnp.zeros((B, 2 * MAXSEG + 1), jnp.int32).at[
+        rid, label].add(1)
+    counts = counts_flat[:, : 2 * MAXSEG].reshape(B, MAXSEG, 2)
 
-    lev_sums = counts.sum(axis=2)                      # (B, 16)
+    lev_sums = counts.sum(axis=2)                       # (B, 16)
     found = lev_sums.sum(axis=1) > 0
     ii = jnp.argmax(lev_sums > 0, axis=1).astype(jnp.int32)
     ssum = jnp.take_along_axis(lev_sums, ii[:, None], axis=1)[:, 0]
 
     # --- replay detection ----------------------------------------------------
-    replay = (totals > C) | (lev_sums >= cfg.max_num_hits).any(axis=1)
+    replay = (lev_sums >= cfg.max_num_hits).any(axis=1)
     if cfg.report_repeat_hits == 0:
         replay = replay | (found & (ssum > 1))
 
@@ -310,24 +355,51 @@ def _verify_kernel(cfg: Cfg, C: int, d_catcat, d_anchors, d_sizes, d_rcoff,
     nfwd = jnp.take_along_axis(counts[:, :, 0], ii[:, None], axis=1)[:, 0]
     sel_chain = (j >= nfwd).astype(jnp.int32)
     target = jnp.where(sel_chain == 1, j - nfwd, j) + 1
-    ind = accepted & (wmm == ii[:, None]) & (chain == sel_chain[:, None])
-    rk = jnp.cumsum(ind, axis=1)
-    sel = ind & (rk == target[:, None])
-    sslot = jnp.argmax(sel, axis=1)[:, None]
-    sel_chrp = (2 * jnp.take_along_axis(c, sslot, axis=1)
-                + jnp.take_along_axis(crick, sslot, axis=1))[:, 0]
-    sel_wloc = jnp.take_along_axis(wloc, sslot, axis=1)[:, 0]
+    ind = accepted & (wmm == ii[rid]) & (chain == sel_chain[rid])
+    cs = jnp.cumsum(ind.astype(jnp.int32))
+    start_pos = jnp.clip(read_cum[rid], 0, CANDS - 1)
+    base = jnp.where(read_cum[rid] > 0, cs[start_pos - 1], 0)
+    local_rank = cs - base
+    sel = ind & (local_rank == target[rid])
+    chrp = 2 * c + crick.astype(jnp.int32)
+    sel_sidx = jnp.full((B,), CANDS, jnp.int32).at[rid].min(
+        jnp.where(sel, sidx, CANDS))
+    safe_sel = jnp.clip(sel_sidx, 0, CANDS - 1)
+    sel_chrp = chrp[safe_sel]
+    sel_wloc = wloc[safe_sel]
 
     # first level-0 forward hit (hits[0][0] slot leak, see output/sam.py)
     ind0 = accepted & (wmm == 0) & (chain == 0)
-    h00_found = ind0.any(axis=1)
-    h00s = jnp.argmax(ind0, axis=1)[:, None]
-    h00_chrp = (2 * jnp.take_along_axis(c, h00s, axis=1)
-                + jnp.take_along_axis(crick, h00s, axis=1))[:, 0]
-    h00_wloc = jnp.take_along_axis(wloc, h00s, axis=1)[:, 0]
+    h00_sidx = jnp.full((B,), CANDS, jnp.int32).at[rid].min(
+        jnp.where(ind0, sidx, CANDS))
+    h00_found = h00_sidx < CANDS
+    safe = jnp.clip(h00_sidx, 0, CANDS - 1)
+    h00_chrp = chrp[safe]
+    h00_wloc = wloc[safe]
 
-    return (counts, found, ii, ssum, sel_chain, sel_chrp, sel_wloc,
-            h00_found, h00_chrp, h00_wloc, replay)
+    # one packed int32 output array -> a single device-to-host transfer
+    extras = jnp.stack(
+        [found.astype(jnp.int32), ii, ssum, sel_chain, sel_chrp, sel_wloc,
+         h00_found.astype(jnp.int32), h00_chrp, h00_wloc,
+         replay.astype(jnp.int32), totals], axis=1)
+    return jnp.concatenate([counts.reshape(B, 2 * MAXSEG), extras], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "CANDS"))
+def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, rc_code,
+                        rc_n_code, d_catcat, d_anchors, d_sizes, d_rcoff,
+                        d_locs, codes, regs, lens, budgets, readsets,
+                        read_idx):
+    """Single-dispatch chunk: schedule + verify fused.  Candidate capacity is
+    fixed; reads in chunks whose candidates overflow are detected from the
+    returned totals and replayed on the host."""
+    (qw, rw, h, off0, wcnt, cum, totals, read_cum) = _schedule_kernel_impl(
+        cfg, prof_a, d_kmer_tab, rc_code, rc_n_code, codes, regs, lens,
+        budgets, readsets)
+    return _verify_kernel_impl(cfg, CANDS, d_catcat, d_anchors, d_sizes,
+                               d_rcoff, d_locs, qw, rw, lens, budgets,
+                               read_idx, h, off0, wcnt, cum, totals,
+                               read_cum)
 
 
 def _pack(codes):
@@ -339,12 +411,12 @@ def _pack(codes):
     return (lanes << shifts[None, None, :]).sum(axis=-1).astype(jnp.uint32)
 
 
-def _seed_array(codes, S, SEEDPOS):
+def _seed_array(codes, S, P):
     """Base-3 collapsed seed value at every read offset (align.cpp:97-105)."""
     col = jnp.where(codes == 3, jnp.uint8(1), codes).astype(jnp.int32)
-    acc = jnp.zeros(codes.shape[:1] + (SEEDPOS,), dtype=jnp.int32)
+    acc = jnp.zeros(codes.shape[:1] + (P,), dtype=jnp.int32)
     for k in range(S):
-        acc = acc * 3 + col[:, k: k + SEEDPOS]
+        acc = acc * 3 + col[:, k: k + P]
     return acc
 
 
@@ -382,16 +454,10 @@ class DeviceEngine:
         self.host = HostEngine(genome, index, param)  # exact replay path
 
         W = len(genome.refcat)
-        if int(genome.anchors[-1]) >= 2 ** 31:
-            raise EngineUnsupported("genome too large for int32 coordinates;"
-                                    " shard it across devices")
-        self.cfg = Cfg(S=param.seed_size, I=param.index_interval,
-                       NB=MAXSEG * 2 * param.index_interval,
-                       SEEDPOS=FIXSIZE - param.seed_size + 1,
-                       chains=param.chains,
-                       max_num_hits=param.max_num_hits,
-                       report_repeat_hits=param.report_repeat_hits,
-                       randseed=param.randseed, W=W, n_chr=genome.n_chr)
+        if int(genome.anchors[-1]) >= 2 ** 31 or genome.n_chr >= 1 << 15:
+            raise EngineUnsupported("genome too large for single-device "
+                                    "int32 coordinates; shard across devices")
+        self.W = W
         dev = jax.devices()[0]
         put = functools.partial(jax.device_put, device=dev)
         self.d_catcat = put(jnp.asarray(
@@ -403,6 +469,14 @@ class DeviceEngine:
         self.d_rcoff = put(jnp.asarray(genome.rc_offsets, dtype=jnp.int32))
         self.d_offsets = put(jnp.asarray(index.offsets, dtype=jnp.int32))
         self.d_wcounts = put(jnp.asarray(index.wcounts, dtype=jnp.int32))
+        # combined (offset, count, wcount, 0) rows: one 16B gather per seed
+        # position in the scheduler instead of three scattered ones
+        tk = index.total_kmers
+        kmer_tab = np.zeros((tk, 4), dtype=np.int32)
+        kmer_tab[:, 0] = index.offsets[:-1]
+        kmer_tab[:, 1] = np.diff(index.offsets)
+        kmer_tab[:, 2] = index.wcounts
+        self.d_kmer_tab = put(jnp.asarray(kmer_tab))
         self.d_locs = put(jnp.asarray(index.locs.astype(np.int64),
                                       dtype=jnp.int32))
         I = param.index_interval
@@ -417,13 +491,37 @@ class DeviceEngine:
         self.n_filtered = 0
         self.n_replayed = 0
 
+    def _cfg(self, posmax: int) -> Cfg:
+        p = self.param
+        return Cfg(S=p.seed_size, I=p.index_interval,
+                   NB=MAXSEG * 2 * p.index_interval, POSMAX=posmax,
+                   chains=p.chains, max_num_hits=p.max_num_hits,
+                   report_repeat_hits=p.report_repeat_hits,
+                   randseed=p.randseed, W=self.W, n_chr=self.genome.n_chr)
+
     # -- batch orchestration -------------------------------------------------
 
-    def align_batch(self, batch: list[Read]):
+    def _filter_batch(self, batch: list[Read], results):
+        """Trim/filter; returns (live indices, budgets).  When no trimming is
+        configured (no adapters, -q 0) the filter is pure arithmetic;
+        otherwise per-read (FilterReads align.cpp:579-589)."""
         p = self.param
-        results: list = [None] * len(batch)
-        live_idx = []
-        budgets = []
+        live_idx, budgets = [], []
+        if not p.adapters and p.qual_threshold == 0:
+            for i, rd in enumerate(batch):
+                L = len(rd.seq)
+                rd.raw_len = L
+                if L < p.min_read_size:
+                    results[i] = SEResult(filtered=True)
+                    continue
+                sb = np.frombuffer(rd.seq.encode("latin1"), dtype=np.uint8)
+                if int((REG_ALPHABET[sb] == 0).sum()) > p.max_ns:
+                    results[i] = SEResult(filtered=True)
+                    continue
+                live_idx.append(i)
+                budgets.append((p.max_snp_num + 1) * (L - 1) // L)
+            self.n_filtered += len(batch) - len(live_idx)
+            return live_idx, budgets
         for i, rd in enumerate(batch):
             filtered, budget = filter_read(rd, p)
             if filtered:
@@ -432,66 +530,108 @@ class DeviceEngine:
             else:
                 live_idx.append(i)
                 budgets.append(budget)
+        return live_idx, budgets
 
+    def align_batch(self, batch: list[Read]):
+        results: list = [None] * len(batch)
+        live_idx, budgets = self._filter_batch(batch, results)
+        # 1-deep software pipeline: dispatch chunk k+1 before collecting
+        # chunk k (device work and host post-processing overlap).
+        pending = None
         for lo in range(0, len(live_idx), DEV_BATCH):
             chunk = live_idx[lo: lo + DEV_BATCH]
-            self._align_chunk(batch, chunk,
-                              budgets[lo: lo + DEV_BATCH], results)
+            disp = self._dispatch_chunk(batch, chunk,
+                                        budgets[lo: lo + DEV_BATCH])
+            if pending is not None:
+                self._collect_chunk(batch, *pending, results)
+            pending = disp
+        if pending is not None:
+            self._collect_chunk(batch, *pending, results)
         return results
 
-    def _align_chunk(self, batch, chunk, budgets, results):
+    def _dispatch_chunk(self, batch, chunk, budgets):
         p = self.param
         n = len(chunk)
-        B = DEV_BATCH if n > DEV_BATCH // 2 else _round_pow2(n)
+        B = DEV_BATCH if n > 2048 else _round_pow2(n)
         codes = np.zeros((B, FIXSIZE), dtype=np.uint8)
         regs = np.zeros((B, FIXSIZE), dtype=np.uint8)
         lens = np.zeros(B, dtype=np.int32)
-        buds = np.zeros(B, dtype=np.int32)
         ridx = np.zeros(B, dtype=np.uint64)
         rsets = np.zeros(B, dtype=np.int32)
+        buds = np.zeros(B, dtype=np.int32)
+        buds[:n] = budgets
+        seqs = [batch[i].seq for i in chunk]
+        if len(set(map(len, seqs))) == 1:
+            L = len(seqs[0])
+            sb = np.frombuffer("".join(seqs).encode("latin1"),
+                               dtype=np.uint8).reshape(n, L)
+            codes[:n, :L] = p.alphabet[sb]
+            regs[:n, :L] = REG_ALPHABET[sb]
+            lens[:n] = L
+            maxlen = L
+        else:
+            for t, s in enumerate(seqs):
+                sb = np.frombuffer(s.encode("latin1"), dtype=np.uint8)
+                codes[t, :len(sb)] = p.alphabet[sb]
+                regs[t, :len(sb)] = REG_ALPHABET[sb]
+                lens[t] = len(sb)
+            maxlen = int(lens.max())
+        ridx[:n] = [batch[i].index for i in chunk]
+        rsets[:n] = [batch[i].readset for i in chunk]
+
+        # POSMAX class: enough seed positions for the longest read, rounded
+        # to limit recompiles.
+        posmax = min(FIXSIZE - p.seed_size + 1,
+                     _round16(maxlen - p.seed_size + 1))
+        cfg = self._cfg(posmax)
+
+        out = _align_fused_kernel(cfg, CANDS_FIXED, self.prof_a,
+                                  self.d_kmer_tab, self.rc_code,
+                                  self.rc_n_code, self.d_catcat,
+                                  self.d_anchors, self.d_sizes,
+                                  self.d_rcoff, self.d_locs,
+                                  jnp.asarray(codes), jnp.asarray(regs),
+                                  jnp.asarray(lens), jnp.asarray(buds),
+                                  jnp.asarray(rsets), jnp.asarray(ridx))
+        return chunk, budgets, out
+
+    def _collect_chunk(self, batch, chunk, budgets, out, results):
+        packed = np.asarray(out)
+        counts = packed[:, : 2 * MAXSEG].reshape(-1, MAXSEG, 2)
+        (found, ii, ssum, sel_chain, sel_chrp, sel_wloc,
+         h00_found, h00_chrp, h00_wloc, replay,
+         totals) = packed[:, 2 * MAXSEG:].T
+
+        n = len(chunk)
+        ends = np.cumsum(totals[:n].astype(np.int64))
+        fits = ends <= CANDS_FIXED        # candidates fully evaluated
+        retry_idx: list[int] = []
+        retry_budgets: list[int] = []
         for t, i in enumerate(chunk):
-            rd = batch[i]
-            sb = np.frombuffer(rd.seq.encode("latin1"), dtype=np.uint8)
-            L = len(sb)
-            codes[t, :L] = p.alphabet[sb]
-            regs[t, :L] = REG_ALPHABET[sb]
-            lens[t] = L
-            buds[t] = budgets[t]
-            ridx[t] = rd.index
-            rsets[t] = rd.readset
-
-        (qw, rw, h, off0, wcnt, cum, totals, slot_chain, slot_rank) = \
-            _schedule_kernel(self.cfg, self.prof_a, self.d_offsets,
-                             self.d_wcounts, self.rc_code,
-                             jnp.asarray(codes), jnp.asarray(regs),
-                             jnp.asarray(lens), jnp.asarray(buds),
-                             jnp.asarray(rsets), self.rc_n_code)
-
-        tot_np = np.asarray(totals)
-        C = CAP_CLASSES[-1]
-        for cc in CAP_CLASSES:
-            if tot_np[:n].max(initial=0) <= cc:
-                C = cc
-                break
-
-        out = _verify_kernel(self.cfg, C, self.d_catcat, self.d_anchors,
-                             self.d_sizes, self.d_rcoff, self.d_locs,
-                             qw, rw, jnp.asarray(lens), jnp.asarray(buds),
-                             jnp.asarray(ridx), h, off0, wcnt, cum,
-                             totals, slot_chain, slot_rank)
-        (counts, found, ii, ssum, sel_chain, sel_chrp, sel_wloc,
-         h00_found, h00_chrp, h00_wloc, replay) = [np.asarray(x) for x in out]
-
-        for t, i in enumerate(chunk):
+            if not fits[t]:
+                if t == 0:
+                    # a single read whose candidates exceed capacity:
+                    # exact host replay
+                    results[i] = self.host.run_align(batch[i], budgets[t])
+                    self.n_replayed += 1
+                else:
+                    retry_idx.append(i)
+                    retry_budgets.append(budgets[t])
+                continue
             if replay[t]:
                 results[i] = self.host.run_align(batch[i], budgets[t])
                 self.n_replayed += 1
             else:
                 results[i] = DeviceView(
-                    counts[t], int(buds[t]), bool(found[t]), int(ii[t]),
+                    counts[t], int(budgets[t]), bool(found[t]), int(ii[t]),
                     int(ssum[t]), int(sel_chain[t]),
                     (int(sel_chrp[t]), int(sel_wloc[t])),
                     bool(h00_found[t]), (int(h00_chrp[t]), int(h00_wloc[t])))
+        if retry_idx:
+            # overflowed tail: re-dispatch as its own chunk (guaranteed
+            # progress — its first read is evaluated or host-replayed)
+            disp = self._dispatch_chunk(batch, retry_idx, retry_budgets)
+            self._collect_chunk(batch, *disp, results)
 
     def format_batch(self, batch: list[Read], fmt) -> str:
         results = self.align_batch(batch)
@@ -529,3 +669,7 @@ def _round_pow2(n: int) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _round16(n: int) -> int:
+    return max(16, ((n + 15) // 16) * 16)

@@ -4,6 +4,8 @@ multi-chip sharding paths are exercised without TPU hardware."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("BSMAP_TPU_DEV_BATCH", "2048")
+os.environ.setdefault("BSMAP_TPU_CANDS", "16384")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -18,7 +18,9 @@ def run_ref(binary, workdir, args):
 
 def run_ours(workdir, args, engine="host"):
     env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
-           "JAX_PLATFORMS": "cpu"}
+           "JAX_PLATFORMS": "cpu",
+           "BSMAP_TPU_DEV_BATCH": "2048", "BSMAP_TPU_CANDS": "16384",
+           "HOME": "/root"}
     r = subprocess.run([sys.executable, "-m", "bsmap_tpu.cli"] + args
                        + ["--engine", engine],
                        cwd=workdir, capture_output=True, env=env)
