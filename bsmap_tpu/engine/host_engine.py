@@ -27,6 +27,25 @@ from ..reference import PackedGenome, ccgg_seglen
 from ..trim import filter_read
 
 
+class MateState:
+    """Per-SingleAlign-instance state that leaks across reads in the
+    reference and is semantically visible for reads whose
+    ``(len - interval + 1) % seed_size == 0`` (``max_offset == 0``):
+    ReorderSeed then skips its initial scan (align.cpp:458-468 loop bound),
+    so ``seed_start_offset`` keeps the previous read's value and the
+    scheduling may index ``seed_array`` entries beyond this read's prefix —
+    stale values from earlier (longer) reads.  Fresh heap in the reference
+    zero-initializes both, which this emulation mirrors."""
+
+    SEEDBUF = 160  # generous upper bound on touched entries
+
+    def __init__(self) -> None:
+        self.seed_buf = np.zeros(self.SEEDBUF, dtype=np.int64)
+        self.cseed_buf = np.zeros(self.SEEDBUF, dtype=np.int64)
+        self.seed_start_offset = 0
+        self.cseed_start_offset = 0
+
+
 @dataclasses.dataclass
 class SEResult:
     """Everything StringAlign / pair logic needs about one aligned read."""
@@ -56,12 +75,13 @@ class HostEngine:
         self.crefcodes = unpack_u32(genome.crefcat)
         self.anchors = genome.anchors
         self.n_chr = genome.n_chr
+        self.mate_state = MateState()   # SE: one SingleAlign instance
         # per-chromosome unpacked codes for RRBS chr-local verify
         self._chr_codes_cache: dict[int, np.ndarray] = {}
 
     # -- per-read precompute (ConvertBinaySeq: align.cpp:90-162) -------------
 
-    def _convert(self, read: Read):
+    def _convert(self, read: Read, state: MateState):
         p = self.param
         sb = np.frombuffer(read.seq.encode("latin1"), dtype=np.uint8)
         codes = p.alphabet[sb].astype(np.int8)
@@ -71,9 +91,13 @@ class HostEngine:
         ccodes = p.rev_alphabet[sb[::-1]].astype(np.int8)
         creg = reg[::-1].copy()
         from ..encoding import seed_values
-        seed_array = seed_values(codes, p.seed_size)
-        cseed_array = seed_values(ccodes, p.seed_size)
-        return codes, reg, ccodes, creg, seed_array, cseed_array
+        # write this read's seed prefix into the persistent buffers; entries
+        # beyond len-S keep earlier reads' values (see MateState)
+        sv = seed_values(codes, p.seed_size)
+        state.seed_buf[: len(sv)] = sv
+        csv = seed_values(ccodes, p.seed_size)
+        state.cseed_buf[: len(csv)] = csv
+        return codes, reg, ccodes, creg, state.seed_buf, state.cseed_buf
 
     def _count_mismatch(self, qcodes, reg, cat_codes, g: int) -> int:
         """CountMismatch (align.h:167-200): asymmetric lane count of the read
@@ -130,14 +154,15 @@ class HostEngine:
             best, total = start, 0xFFFFFFFF
             arr[ptr] = start
             for ii in range(start, end + 1):
-                tt = self._count_seeds(seed_array, ptr, ii)
+                tt = self._count_seeds(seed_array, ptr, ii) & 0xFFFFFFFF
                 if tt < total:
                     total, best = tt, ii
             arr[ptr] = best
         return arr
 
     def _reorder(self, seed_array, cseed_array, seedseg_num: int,
-                 read_len: int, flag_chain: bool, cflag_chain: bool):
+                 read_len: int, flag_chain: bool, cflag_chain: bool,
+                 state: MateState):
         """ReorderSeed (align.cpp:454-504): choose global start offsets, then
         per-segment offsets, then order segments cheapest-bucket-first."""
         p = self.param
@@ -146,19 +171,25 @@ class HostEngine:
             max_offset = 0
         else:
             max_offset = (read_len - p.index_interval + 1) % p.seed_size
-            s_off = c_off = 0
+            # max_offset == 0 -> the scan below never runs and the offsets
+            # keep their previous-read values (align.cpp:458; see MateState)
+            s_off, c_off = state.seed_start_offset, state.cseed_start_offset
             best = cbest = 0xFFFFFFFF
             for i in range(max_offset):
                 if flag_chain:
                     tt = sum(self._count_seeds(seed_array, n, i)
-                             for n in range(seedseg_num))
+                             for n in range(seedseg_num)) & 0xFFFFFFFF
                     if tt < best:
                         best, s_off = tt, i
                 if cflag_chain:
                     tt = sum(self._count_seeds(cseed_array, n, i)
-                             for n in range(seedseg_num))
+                             for n in range(seedseg_num)) & 0xFFFFFFFF
                     if tt < cbest:
                         cbest, c_off = tt, i
+            if flag_chain:
+                state.seed_start_offset = s_off
+            if cflag_chain:
+                state.cseed_start_offset = c_off
 
         result = {}
         if flag_chain:
@@ -213,16 +244,19 @@ class HostEngine:
             return SEResult(filtered=True)
         return self.run_align(read, budget)
 
-    def run_align(self, read: Read, budget: int) -> SEResult:
+    def run_align(self, read: Read, budget: int,
+                  state: MateState | None = None) -> SEResult:
         """Align an already-filtered read with the given mismatch budget."""
-        return self._run_align(read, budget)
+        return self._run_align(read, budget, state or self.mate_state)
 
-    def _run_align(self, read: Read, budget: int) -> SEResult:
+    def _run_align(self, read: Read, budget: int,
+                   state: MateState) -> SEResult:
         """RunAlign (align.cpp:435-452)."""
         p = self.param
         L = len(read.seq)
         seedseg_num = p.seedseg_num(L, budget)
-        codes, reg, ccodes, creg, seed_array, cseed_array = self._convert(read)
+        codes, reg, ccodes, creg, seed_array, cseed_array = \
+            self._convert(read, state)
         flag_chain = bool(p.chains or read.readset < 2)
         cflag_chain = bool(p.chains or read.readset == 2)
 
@@ -232,18 +266,22 @@ class HostEngine:
                        hits=[[] for _ in range(MAXSNPS + 1)],
                        chits=[[] for _ in range(MAXSNPS + 1)])
 
-        if seedseg_num > 0:
+        if True:  # ReorderSeed runs even with zero segments (align.cpp:444)
             sched = self._reorder(seed_array, cseed_array, seedseg_num, L,
-                                  flag_chain, cflag_chain)
+                                  flag_chain, cflag_chain, state)
             for mode in range(seedseg_num):
                 self._snp_align(read, mode, sched, st, res, codes, reg,
                                 ccodes, creg, seed_array, cseed_array,
                                 flag_chain, cflag_chain)
-                if st.returned:
-                    break
+                # a mid-SnpAlign return only ends that segment scan; the
+                # WGBS progressive check below is what stops the read
+                # (align.cpp:445-449).  For WGBS any such return implies a
+                # nonzero count at a level <= mode, so breaking is
+                # equivalent; RRBS continues through all segments.
                 if not p.RRBS_flag:
-                    if any(len(res.hits[ii]) or len(res.chits[ii])
-                           for ii in range(mode + 1)):
+                    if st.returned or any(
+                            len(res.hits[ii]) or len(res.chits[ii])
+                            for ii in range(mode + 1)):
                         break
 
         res.n_hit = np.array([len(h) for h in res.hits], dtype=np.int64)
@@ -254,6 +292,7 @@ class HostEngine:
     def _snp_align(self, read, mode, sched, st, res, codes, reg, ccodes,
                    creg, seed_array, cseed_array, flag_chain, cflag_chain):
         p = self.param
+        st.returned = False   # returns are per-SnpAlign-call, not sticky
         L = len(read.seq)
         if p.RRBS_flag:
             if flag_chain:
