@@ -12,7 +12,7 @@ import sys
 from .index import (build_index, index_cache_key, load_index, save_index)
 from .output.sam import SamFormatter, sam_header
 from .params import MAXSNPS, Param, MAXHITS
-from .readio import BATCH_NUM, ReadStream
+from .readio import BATCH_NUM, open_read_stream
 from .reference import load_genome
 from .utils import RandR, StepTimer
 
@@ -225,7 +225,7 @@ def run_single_end(o: Options, genome, index) -> int:
     p = o.param
     engine = make_engine(o, genome, index)
     fmt = SamFormatter(genome, p, RandR(os.getpid() * int(__import__('time').time()) & 0xFFFFFFFF))
-    stream = ReadStream(o.query_a, p, readset=0)
+    stream = open_read_stream(o.query_a, p, readset=0)
     timer = StepTimer()
     sam_out = o.out_file if p.out_sam != 2 else o.out_file  # .bam: convert after
     with open(sam_out, "w") as fout:

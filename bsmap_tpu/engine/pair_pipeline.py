@@ -10,7 +10,7 @@ import time
 
 from ..output.pair_sam import PairFormatter
 from ..output.sam import sam_header
-from ..readio import BATCH_NUM, ReadStream
+from ..readio import BATCH_NUM, open_read_stream
 from ..utils import RandR, StepTimer
 from .pair_host import PairHostEngine
 
@@ -20,8 +20,8 @@ def run_pair_end(o, genome, index) -> int:
     engine = make_pair_engine(o, genome, index)
     fmt = PairFormatter(genome, p,
                         RandR(os.getpid() * int(time.time()) & 0xFFFFFFFF))
-    sa = ReadStream(o.query_a, p, readset=1)
-    sb = ReadStream(o.query_b, p, readset=2)
+    sa = open_read_stream(o.query_a, p, readset=1)
+    sb = open_read_stream(o.query_b, p, readset=2)
     timer = StepTimer()
     fout = open(o.out_file, "w")
     fout_unpair = None

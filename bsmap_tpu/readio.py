@@ -102,6 +102,14 @@ def detect_format(path: str) -> int:
     return 2
 
 
+def open_read_stream(path: str, param, readset: int):
+    """Dispatch on file format: FASTA/FASTQ here, SAM/BAM via bamio."""
+    if detect_format(path) >= 2:
+        from .bamio import BamReadStream
+        return BamReadStream(path, param, readset)
+    return ReadStream(path, param, readset)
+
+
 class ReadStream:
     """Batch reader over one FASTA/FASTQ reads file (LoadBatchReads)."""
 
