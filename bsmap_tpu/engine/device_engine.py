@@ -50,6 +50,21 @@ from .host_engine import HostEngine, SEResult
 
 import os as _os
 
+# Persistent XLA compilation cache: the fused aligner compiles once per
+# (shape-class, config) and is reused across processes — first-run compile
+# on TPU is tens of seconds, cached runs start instantly.
+if not jax.config.jax_compilation_cache_dir:
+    _cache = _os.environ.get(
+        "BSMAP_TPU_XLA_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "bsmap_tpu",
+                      "xla"))
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 MAXSEG = MAXSNPS + 1          # max seed segments per read
 # reads per device dispatch / candidate capacity per dispatch (fixed shapes:
 # one compiled program, no mid-chunk host sync); env-overridable so CPU test
@@ -402,6 +417,18 @@ def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, rc_code,
                                read_cum)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _totals_kernel(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
+                   codes, regs, lens, budgets, readsets):
+    """Candidate-count pre-pass: stage 1 with every output but ``totals``
+    dead-code-eliminated.  The host uses the totals to cut candidate-budgeted
+    chunks of a *fixed* compiled shape — overflow retries (and their
+    recompiles) never happen."""
+    out = _schedule_kernel_impl(cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
+                                codes, regs, lens, budgets, readsets)
+    return out[6]
+
+
 def _pack(codes):
     """(B, FIXSIZE) uint8 codes -> (B, FIXELEMENT) uint32, first base in the
     top bits of each word (dbseq.cpp:71-75 layout)."""
@@ -532,106 +559,122 @@ class DeviceEngine:
                 budgets.append(budget)
         return live_idx, budgets
 
-    def align_batch(self, batch: list[Read]):
-        results: list = [None] * len(batch)
-        live_idx, budgets = self._filter_batch(batch, results)
-        # 1-deep software pipeline: dispatch chunk k+1 before collecting
-        # chunk k (device work and host post-processing overlap).
-        pending = None
-        for lo in range(0, len(live_idx), DEV_BATCH):
-            chunk = live_idx[lo: lo + DEV_BATCH]
-            disp = self._dispatch_chunk(batch, chunk,
-                                        budgets[lo: lo + DEV_BATCH])
-            if pending is not None:
-                self._collect_chunk(batch, *pending, results)
-            pending = disp
-        if pending is not None:
-            self._collect_chunk(batch, *pending, results)
-        return results
-
-    def _dispatch_chunk(self, batch, chunk, budgets):
+    def _pack_host(self, batch, idxs, budgets):
+        """Encode reads into padded fixed-shape numpy arrays (C11 analogue of
+        ConvertBinaySeq's host half; the packing itself runs on device)."""
         p = self.param
-        n = len(chunk)
-        B = DEV_BATCH if n > 2048 else _round_pow2(n)
-        codes = np.zeros((B, FIXSIZE), dtype=np.uint8)
-        regs = np.zeros((B, FIXSIZE), dtype=np.uint8)
-        lens = np.zeros(B, dtype=np.int32)
-        ridx = np.zeros(B, dtype=np.uint64)
-        rsets = np.zeros(B, dtype=np.int32)
-        buds = np.zeros(B, dtype=np.int32)
-        buds[:n] = budgets
-        seqs = [batch[i].seq for i in chunk]
-        if len(set(map(len, seqs))) == 1:
+        n = len(idxs)
+        codes = np.zeros((n, FIXSIZE), dtype=np.uint8)
+        regs = np.zeros((n, FIXSIZE), dtype=np.uint8)
+        lens = np.zeros(n, dtype=np.int32)
+        ridx = np.zeros(n, dtype=np.uint64)
+        rsets = np.zeros(n, dtype=np.int32)
+        buds = np.asarray(budgets, dtype=np.int32)
+        seqs = [batch[i].seq for i in idxs]
+        if n and len(set(map(len, seqs))) == 1:
             L = len(seqs[0])
             sb = np.frombuffer("".join(seqs).encode("latin1"),
                                dtype=np.uint8).reshape(n, L)
-            codes[:n, :L] = p.alphabet[sb]
-            regs[:n, :L] = REG_ALPHABET[sb]
-            lens[:n] = L
-            maxlen = L
+            codes[:, :L] = p.alphabet[sb]
+            regs[:, :L] = REG_ALPHABET[sb]
+            lens[:] = L
         else:
             for t, s in enumerate(seqs):
                 sb = np.frombuffer(s.encode("latin1"), dtype=np.uint8)
                 codes[t, :len(sb)] = p.alphabet[sb]
                 regs[t, :len(sb)] = REG_ALPHABET[sb]
                 lens[t] = len(sb)
-            maxlen = int(lens.max())
-        ridx[:n] = [batch[i].index for i in chunk]
-        rsets[:n] = [batch[i].readset for i in chunk]
+        ridx[:] = [batch[i].index for i in idxs]
+        rsets[:] = [batch[i].readset for i in idxs]
+        return codes, regs, lens, buds, rsets, ridx
 
-        # POSMAX class: enough seed positions for the longest read, rounded
-        # to limit recompiles.
-        posmax = min(FIXSIZE - p.seed_size + 1,
-                     _round16(maxlen - p.seed_size + 1))
+    def _pad_to(self, arrs, lo, hi, B):
+        out = []
+        for a in arrs:
+            pad = np.zeros((B,) + a.shape[1:], dtype=a.dtype)
+            pad[: hi - lo] = a[lo:hi]
+            out.append(jnp.asarray(pad))
+        return out
+
+    def align_batch(self, batch: list[Read]):
+        results: list = [None] * len(batch)
+        live_idx, budgets = self._filter_batch(batch, results)
+        n = len(live_idx)
+        if n == 0:
+            return results
+        arrs = self._pack_host(batch, live_idx, budgets)
+        codes, regs, lens, buds, rsets, ridx = arrs
+        maxlen = int(lens.max()) if n else self.param.seed_size
+        posmax = min(FIXSIZE - self.param.seed_size + 1,
+                     _round16(maxlen - self.param.seed_size + 1))
         cfg = self._cfg(posmax)
+        B = DEV_BATCH if n > 2048 else _round_pow2(n)
 
-        out = _align_fused_kernel(cfg, CANDS_FIXED, self.prof_a,
-                                  self.d_kmer_tab, self.rc_code,
-                                  self.rc_n_code, self.d_catcat,
-                                  self.d_anchors, self.d_sizes,
-                                  self.d_rcoff, self.d_locs,
-                                  jnp.asarray(codes), jnp.asarray(regs),
-                                  jnp.asarray(lens), jnp.asarray(buds),
-                                  jnp.asarray(rsets), jnp.asarray(ridx))
-        return chunk, budgets, out
+        # pre-pass: per-read candidate totals (cheap; windows pipelined)
+        pend = []
+        for lo in range(0, n, B):
+            hi = min(lo + B, n)
+            c_, r_, l_, b_, s_, _ = self._pad_to(arrs, lo, hi, B)
+            pend.append(_totals_kernel(cfg, self.prof_a, self.d_kmer_tab,
+                                       self.rc_code, self.rc_n_code,
+                                       c_, r_, l_, b_, s_))
+        totals = np.concatenate([np.asarray(t) for t in pend])[:n]
+        totals = totals.astype(np.int64)
 
-    def _collect_chunk(self, batch, chunk, budgets, out, results):
+        # cut [lo, hi) chunks so each fits the fixed candidate capacity
+        chunks = []
+        lo = 0
+        while lo < n:
+            if totals[lo] > CANDS_FIXED:
+                # single over-capacity read: exact host replay
+                i = live_idx[lo]
+                results[i] = self.host.run_align(batch[i], int(buds[lo]))
+                self.n_replayed += 1
+                lo += 1
+                continue
+            acc = 0
+            hi = lo
+            while hi < n and hi - lo < B and acc + totals[hi] <= CANDS_FIXED:
+                acc += totals[hi]
+                hi += 1
+            chunks.append((lo, hi))
+            lo = hi
+
+        # 1-deep software pipeline: dispatch chunk k+1 before collecting
+        # chunk k (device work and host post-processing overlap).
+        pending = None
+        for (lo, hi) in chunks:
+            c_, r_, l_, b_, s_, x_ = self._pad_to(arrs, lo, hi, B)
+            out = _align_fused_kernel(
+                cfg, CANDS_FIXED, self.prof_a, self.d_kmer_tab, self.rc_code,
+                self.rc_n_code, self.d_catcat, self.d_anchors, self.d_sizes,
+                self.d_rcoff, self.d_locs, c_, r_, l_, b_, s_, x_)
+            if pending is not None:
+                self._collect_chunk(batch, live_idx, budgets, *pending,
+                                    results)
+            pending = (lo, hi, out)
+        if pending is not None:
+            self._collect_chunk(batch, live_idx, budgets, *pending, results)
+        return results
+
+    def _collect_chunk(self, batch, live_idx, budgets, lo, hi, out, results):
         packed = np.asarray(out)
         counts = packed[:, : 2 * MAXSEG].reshape(-1, MAXSEG, 2)
         (found, ii, ssum, sel_chain, sel_chrp, sel_wloc,
          h00_found, h00_chrp, h00_wloc, replay,
          totals) = packed[:, 2 * MAXSEG:].T
 
-        n = len(chunk)
-        ends = np.cumsum(totals[:n].astype(np.int64))
-        fits = ends <= CANDS_FIXED        # candidates fully evaluated
-        retry_idx: list[int] = []
-        retry_budgets: list[int] = []
-        for t, i in enumerate(chunk):
-            if not fits[t]:
-                if t == 0:
-                    # a single read whose candidates exceed capacity:
-                    # exact host replay
-                    results[i] = self.host.run_align(batch[i], budgets[t])
-                    self.n_replayed += 1
-                else:
-                    retry_idx.append(i)
-                    retry_budgets.append(budgets[t])
-                continue
+        for t in range(hi - lo):
+            i = live_idx[lo + t]
             if replay[t]:
-                results[i] = self.host.run_align(batch[i], budgets[t])
+                results[i] = self.host.run_align(batch[i], budgets[lo + t])
                 self.n_replayed += 1
             else:
                 results[i] = DeviceView(
-                    counts[t], int(budgets[t]), bool(found[t]), int(ii[t]),
-                    int(ssum[t]), int(sel_chain[t]),
+                    counts[t], int(budgets[lo + t]), bool(found[t]),
+                    int(ii[t]), int(ssum[t]), int(sel_chain[t]),
                     (int(sel_chrp[t]), int(sel_wloc[t])),
                     bool(h00_found[t]), (int(h00_chrp[t]), int(h00_wloc[t])))
-        if retry_idx:
-            # overflowed tail: re-dispatch as its own chunk (guaranteed
-            # progress — its first read is evaluated or host-replayed)
-            disp = self._dispatch_chunk(batch, retry_idx, retry_budgets)
-            self._collect_chunk(batch, *disp, results)
 
     def format_batch(self, batch: list[Read], fmt) -> str:
         results = self.align_batch(batch)
