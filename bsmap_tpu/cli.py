@@ -43,7 +43,8 @@ USAGE = """Usage: bsmap_tpu [options]
        -m  <int>   min insert size, default 28
        -x  <int>   max insert size, default 500
        -2  <str>   output for unpaired PE hits (BSP mode)
-       --engine {auto,host,device}   alignment engine (default auto)
+       --engine {auto,host,device,sharded}   alignment engine (default auto:
+                   sharded over all devices when >1, else single-device)
        --index-cache <dir>           persist/reuse the seed index
        -h          help
 """
@@ -180,9 +181,16 @@ def get_index(o: Options, genome, log=print):
 
 
 def make_engine(o: Options, genome, index):
+    if o.engine == "sharded":
+        from .parallel import ShardedDeviceEngine
+        return ShardedDeviceEngine(genome, index, o.param)
     if o.engine != "host":
         try:
+            import jax
             from .engine.device_engine import DeviceEngine
+            if o.engine == "auto" and len(jax.devices()) > 1:
+                from .parallel import ShardedDeviceEngine
+                return ShardedDeviceEngine(genome, index, o.param)
             return DeviceEngine(genome, index, o.param)
         except ImportError:
             if o.engine == "device":

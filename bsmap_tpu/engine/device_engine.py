@@ -515,6 +515,8 @@ class DeviceEngine:
         self.rc_code = put(jnp.asarray(rc, dtype=jnp.uint8))
         self.rc_n_code = put(jnp.asarray(int(param.rev_alphabet[ord("N")]),
                                          dtype=jnp.uint8))
+        self.B = DEV_BATCH             # reads per device dispatch
+        self.CANDS = CANDS_FIXED       # candidate capacity per dispatch
         self.n_filtered = 0
         self.n_replayed = 0
 
@@ -596,6 +598,35 @@ class DeviceEngine:
             out.append(jnp.asarray(pad))
         return out
 
+    def _stripe_shape(self, n: int):
+        """(stripes per dispatch, reads per stripe, candidate capacity per
+        stripe).  The sharded engine overrides this: one stripe per device."""
+        B = self.B if n > 2048 else min(self.B, _round_pow2(n))
+        return 1, B, self.CANDS
+
+    def _run_totals(self, cfg, padded):
+        c_, r_, l_, b_, s_ = padded
+        return _totals_kernel(cfg, self.prof_a, self.d_kmer_tab,
+                              self.rc_code, self.rc_n_code,
+                              c_, r_, l_, b_, s_)
+
+    def _run_fused(self, cfg, padded):
+        c_, r_, l_, b_, s_, x_ = padded
+        return _align_fused_kernel(
+            cfg, self.CANDS, self.prof_a, self.d_kmer_tab, self.rc_code,
+            self.rc_n_code, self.d_catcat, self.d_anchors, self.d_sizes,
+            self.d_rcoff, self.d_locs, c_, r_, l_, b_, s_, x_)
+
+    def _pad_stripes(self, arrs, stripes, B_loc, NS):
+        """Stack stripe ranges into (NS*B_loc)-row padded device arrays."""
+        out = []
+        for a in arrs:
+            pad = np.zeros((NS * B_loc,) + a.shape[1:], dtype=a.dtype)
+            for s, (lo, hi) in enumerate(stripes):
+                pad[s * B_loc: s * B_loc + hi - lo] = a[lo:hi]
+            out.append(jnp.asarray(pad))
+        return out
+
     def align_batch(self, batch: list[Read]):
         results: list = [None] * len(batch)
         live_idx, budgets = self._filter_batch(batch, results)
@@ -608,24 +639,23 @@ class DeviceEngine:
         posmax = min(FIXSIZE - self.param.seed_size + 1,
                      _round16(maxlen - self.param.seed_size + 1))
         cfg = self._cfg(posmax)
-        B = DEV_BATCH if n > 2048 else _round_pow2(n)
+        NS, B_loc, C_loc = self._stripe_shape(n)
+        W = NS * B_loc
 
         # pre-pass: per-read candidate totals (cheap; windows pipelined)
         pend = []
-        for lo in range(0, n, B):
-            hi = min(lo + B, n)
-            c_, r_, l_, b_, s_, _ = self._pad_to(arrs, lo, hi, B)
-            pend.append(_totals_kernel(cfg, self.prof_a, self.d_kmer_tab,
-                                       self.rc_code, self.rc_n_code,
-                                       c_, r_, l_, b_, s_))
+        for lo in range(0, n, W):
+            hi = min(lo + W, n)
+            padded = self._pad_to(arrs[:5], lo, hi, W)
+            pend.append(self._run_totals(cfg, padded))
         totals = np.concatenate([np.asarray(t) for t in pend])[:n]
         totals = totals.astype(np.int64)
 
-        # cut [lo, hi) chunks so each fits the fixed candidate capacity
-        chunks = []
+        # cut [lo, hi) stripes so each fits one stripe's candidate capacity
+        stripes = []
         lo = 0
         while lo < n:
-            if totals[lo] > CANDS_FIXED:
+            if totals[lo] > C_loc:
                 # single over-capacity read: exact host replay
                 i = live_idx[lo]
                 results[i] = self.host.run_align(batch[i], int(buds[lo]))
@@ -634,47 +664,52 @@ class DeviceEngine:
                 continue
             acc = 0
             hi = lo
-            while hi < n and hi - lo < B and acc + totals[hi] <= CANDS_FIXED:
+            while (hi < n and hi - lo < B_loc
+                   and acc + totals[hi] <= C_loc):
                 acc += totals[hi]
                 hi += 1
-            chunks.append((lo, hi))
+            stripes.append((lo, hi))
             lo = hi
+        chunks = [stripes[i: i + NS] for i in range(0, len(stripes), NS)]
 
         # 1-deep software pipeline: dispatch chunk k+1 before collecting
         # chunk k (device work and host post-processing overlap).
         pending = None
-        for (lo, hi) in chunks:
-            c_, r_, l_, b_, s_, x_ = self._pad_to(arrs, lo, hi, B)
-            out = _align_fused_kernel(
-                cfg, CANDS_FIXED, self.prof_a, self.d_kmer_tab, self.rc_code,
-                self.rc_n_code, self.d_catcat, self.d_anchors, self.d_sizes,
-                self.d_rcoff, self.d_locs, c_, r_, l_, b_, s_, x_)
+        for ch in chunks:
+            padded = self._pad_stripes(arrs, ch, B_loc, NS)
+            out = self._run_fused(cfg, padded)
             if pending is not None:
                 self._collect_chunk(batch, live_idx, budgets, *pending,
-                                    results)
-            pending = (lo, hi, out)
+                                    B_loc, results)
+            pending = (ch, out)
         if pending is not None:
-            self._collect_chunk(batch, live_idx, budgets, *pending, results)
+            self._collect_chunk(batch, live_idx, budgets, *pending, B_loc,
+                                results)
         return results
 
-    def _collect_chunk(self, batch, live_idx, budgets, lo, hi, out, results):
+    def _collect_chunk(self, batch, live_idx, budgets, stripes, out, B_loc,
+                       results):
         packed = np.asarray(out)
         counts = packed[:, : 2 * MAXSEG].reshape(-1, MAXSEG, 2)
         (found, ii, ssum, sel_chain, sel_chrp, sel_wloc,
          h00_found, h00_chrp, h00_wloc, replay,
          totals) = packed[:, 2 * MAXSEG:].T
 
-        for t in range(hi - lo):
-            i = live_idx[lo + t]
-            if replay[t]:
-                results[i] = self.host.run_align(batch[i], budgets[lo + t])
-                self.n_replayed += 1
-            else:
-                results[i] = DeviceView(
-                    counts[t], int(budgets[lo + t]), bool(found[t]),
-                    int(ii[t]), int(ssum[t]), int(sel_chain[t]),
-                    (int(sel_chrp[t]), int(sel_wloc[t])),
-                    bool(h00_found[t]), (int(h00_chrp[t]), int(h00_wloc[t])))
+        for s, (lo, hi) in enumerate(stripes):
+            for k in range(hi - lo):
+                t = s * B_loc + k
+                i = live_idx[lo + k]
+                if replay[t]:
+                    results[i] = self.host.run_align(batch[i],
+                                                     budgets[lo + k])
+                    self.n_replayed += 1
+                else:
+                    results[i] = DeviceView(
+                        counts[t], int(budgets[lo + k]), bool(found[t]),
+                        int(ii[t]), int(ssum[t]), int(sel_chain[t]),
+                        (int(sel_chrp[t]), int(sel_wloc[t])),
+                        bool(h00_found[t]),
+                        (int(h00_chrp[t]), int(h00_wloc[t])))
 
     def format_batch(self, batch: list[Read], fmt) -> str:
         results = self.align_batch(batch)

@@ -3,13 +3,24 @@ multi-chip sharding paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when a TPU platform is configured in the environment:
+# the multi-device sharding tests need the virtual 8-device CPU mesh.
+# (sitecustomize may import jax before this file runs, so setting the env
+# var alone is not enough — update the live config too.)
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("BSMAP_TPU_DEV_BATCH", "2048")
 os.environ.setdefault("BSMAP_TPU_CANDS", "16384")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys as _sys
+
+if "jax" in _sys.modules:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import subprocess
