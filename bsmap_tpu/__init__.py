@@ -24,10 +24,11 @@ import os as _os
 
 import jax as _jax
 
-# The index and coordinate math use explicit 64-bit ints (genome coordinates,
-# reproducible xorshift RNG: utilities.cpp:40-50).  All hot arrays are
-# explicitly typed (u)int32, so enabling x64 does not widen the compute path.
-_jax.config.update("jax_enable_x64", True)
+# The device compute path is pure 32-bit (TPUs have no native int64; XLA
+# emulates it with int32 pairs).  64-bit math — genome coordinates during
+# index build, the reproducible xorshift myrand hash (utilities.cpp:40-50) —
+# lives host-side in numpy, which is independent of this flag.
+_jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: kernel shapes are stable across runs, so
 # paying the (slow, remote on some TPU setups) compile once is enough.

@@ -5,10 +5,10 @@ Design (TPU-first rather than a port of align.cpp):
   * The genome lives on device as one uint32 array ``catcat`` =
     refcat ++ crefcat (2-bit packed, 16 bases/word) plus the CSR seed index.
     All large arrays are runtime buffers (never baked into the program).
-  * Stage 1 (read axis): pack both read chains, compute per-position seed
-    values and bucket costs, and run the full seed schedule
+  * Stage 1 (read axis): pack the active read chain(s), compute per-position
+    seed values and bucket costs, and run the full seed schedule
     (ReorderSeed/AdjustSeedStartArray/seedindex, align.cpp:454-577).  The
-    reference's CountSeeds sums turn out to be *sliding-window sums* of the
+    reference's CountSeeds sums are *sliding-window sums* of the
     per-position bucket costs (the probed positions for segment n are the
     I consecutive offsets [n*S, n*S+I)), so the whole cost table is two
     cumsums — no gathers.
@@ -23,11 +23,32 @@ Design (TPU-first rather than a port of align.cpp):
     counts and reproducible multi-hit selection are sort/scan/scatter ops
     on the candidate axis.
 
+TPU performance rules baked in (measured on-chip, tools/microbench.py):
+
+  * Every gather uses a FLAT 1-D index array: XLA's fast gather path runs at
+    HBM speed for 1-D indices but ~1000x slower for multi-dim index arrays.
+  * Static specialization: ``maxseg`` is ``max_snp_num + 1`` (not the
+    MAXSNPS=15 ceiling), the unused read chain is skipped entirely for
+    SE / per-mate PE batches, and the seed-position table size POSMAX
+    depends only on the config — one compiled program per run config,
+    no per-batch-length recompiles.
+  * No separate candidate-count pre-pass: chunks are dispatched
+    optimistically with CANDS = 16*B capacity and the (rare) overflow tail
+    is re-dispatched, halving both kernel work and host round-trips.
+  * The program is int32/uint32-only (x64 disabled); the 64-bit
+    reproducible myrand hash (utilities.cpp:40-50) is computed host-side
+    in vectorized numpy and fed in as a uint32 per read.
+
 Exactness: the fast path assumes a static mismatch threshold (no bucket-cap
 tightening) and no -r 0 abort.  Reads where those sequential semantics could
 change anything are detected (level count >= max_num_hits, candidate
-overflow, -r 0 multi-hits) and replayed on the exact host engine — a tiny
-fraction, preserving bit parity at batch throughput.
+overflow, -r 0 multi-hits) and replayed on the exact host engine.  Reads
+whose seed schedule could touch *stale* seed-buffer state (the reference's
+SingleAlign reuses per-instance buffers across reads: align.cpp:454-469 —
+visible when ``(len - I + 1) % S == 0`` or when probe/cost positions exceed
+``len - S``, i.e. short or mixed-length reads) are detected host-side from
+the length vector alone and replayed with an exactly reconstructed
+MateState, preserving bit parity at batch throughput.
 """
 
 from __future__ import annotations
@@ -46,32 +67,18 @@ from ..params import (FIXELEMENT, FIXSIZE, MAXSNPS, Param, REG_ALPHABET,
 from ..readio import Read
 from ..reference import PackedGenome
 from ..trim import filter_read
-from .host_engine import HostEngine, SEResult
+from ..utils import myrand_hash
+from .host_engine import HostEngine, MateState, SEResult
 
 import os as _os
 
-# Persistent XLA compilation cache: the fused aligner compiles once per
-# (shape-class, config) and is reused across processes — first-run compile
-# on TPU is tens of seconds, cached runs start instantly.
-if not jax.config.jax_compilation_cache_dir:
-    _cache = _os.environ.get(
-        "BSMAP_TPU_XLA_CACHE",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "bsmap_tpu",
-                      "xla"))
-    try:
-        _os.makedirs(_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # pragma: no cover - cache is best-effort
-        pass
-
-MAXSEG = MAXSNPS + 1          # max seed segments per read
-# reads per device dispatch / candidate capacity per dispatch (fixed shapes:
-# one compiled program, no mid-chunk host sync); env-overridable so CPU test
-# runs can use small, fast-to-compile shapes.
+# reads per device dispatch / candidates per read of dispatch capacity
+# (fixed shapes: one compiled program); env-overridable so CPU test runs can
+# use small, fast-to-compile shapes.
 DEV_BATCH = int(_os.environ.get("BSMAP_TPU_DEV_BATCH", 16384))
-CANDS_FIXED = int(_os.environ.get("BSMAP_TPU_CANDS", 1 << 17))
+CANDS_PER_READ = int(_os.environ.get("BSMAP_TPU_CANDS_PER_READ", 16))
 BIGLEVEL = 99
+SATLIM = np.uint32(1 << 30)    # saturating-cumsum fixed point (overflow guard)
 
 
 class EngineUnsupported(ImportError):
@@ -84,350 +91,55 @@ class Cfg(NamedTuple):
 
     S: int
     I: int
-    NB: int
-    POSMAX: int            # seed positions considered (<= FIXSIZE - S + 1)
-    chains: int
+    maxseg: int            # seed segments per read: min(MAXSNPS, -v) + 1
+    chains_mode: str       # 'f' fwd-only, 'r' rc-only, 'b' both
+    P: int                 # seed positions in the schedule table
     max_num_hits: int
     report_repeat_hits: int
-    randseed: int
     W: int                 # words per catcat half
     n_chr: int
 
+    @property
+    def nch(self) -> int:
+        return 2 if self.chains_mode == "b" else 1
 
-# ---------------------------------------------------------------------------
-# stage 1: read-axis pack + schedule
-# ---------------------------------------------------------------------------
-
-def _schedule_kernel_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code,
-                          rc_n_code, codes, regs, lens, budgets, readsets):
-    B = codes.shape[0]
-    S, I, P = cfg.S, cfg.I, cfg.POSMAX
-    pos = jnp.arange(FIXSIZE, dtype=jnp.int32)
-
-    # --- reverse-complement chain (ConvertBinaySeq align.cpp:131-161) -------
-    src = lens[:, None] - 1 - pos[None, :]
-    src_c = jnp.clip(src, 0, FIXSIZE - 1)
-    g_codes = jnp.take_along_axis(codes, src_c, axis=1)
-    g_regs = jnp.take_along_axis(regs, src_c, axis=1)
-    in_rng = src >= 0
-    ccodes = jnp.where(in_rng & (g_regs > 0), rc_code[g_codes],
-                       jnp.where(in_rng, rc_n_code.astype(jnp.uint8),
-                                 jnp.uint8(0)))
-    cregs = jnp.where(in_rng, g_regs, jnp.uint8(0))
-
-    qw = jnp.stack([_pack(codes), _pack(ccodes)], axis=1)
-    rw = jnp.stack([_pack(regs), _pack(cregs)], axis=1)
-
-    sf = _seed_array(codes, S, P)           # (B, P) int32 seed values
-    sc = _seed_array(ccodes, S, P)
-
-    seedseg = jnp.minimum((lens - I + 1) // S, budgets + 1)
-    seedseg = jnp.maximum(seedseg, 0)
-    max_off = (lens - I + 1) % S
-
-    flag_f = (readsets < 2) | bool(cfg.chains)
-    flag_c = (readsets == 2) | bool(cfg.chains)
-
-    n_i = jnp.arange(MAXSEG, dtype=jnp.int32)
-    off_i = jnp.arange(S, dtype=jnp.int32)
-
-    def chain_schedule(sarr):
-        # per-position bucket data: the only random-access gathers of stage 1
-        # (one 16-byte row per position: offset/count/wcount packed together)
-        rows = d_kmer_tab[sarr]              # (B, P, 4) int32
-        o0 = rows[..., 0]
-        cnt = rows[..., 1]
-        wc = rows[..., 2]
-        # reference cost includes the +2 CSR header slots (dbseq.cpp:381).
-        # All cost sums are WRAPPING uint32 like the reference's bit32_t
-        # totals (align.cpp:455,507) — also keeps the TPU program int64-free.
-        cost = jnp.where(cnt > 0, cnt + 2, 0).astype(jnp.uint32)
-
-        # CountSeeds(n, off) = sum of cost over positions [n*S+off,
-        # n*S+off+I): a sliding-window sum (see module docstring).
-        WLEN = MAXSEG * S + I
-        cost_p = jnp.zeros((B, WLEN + 1), jnp.uint32)
-        cost_p = cost_p.at[:, 1: P + 1].set(cost)
-        cs = jnp.cumsum(cost_p, axis=1)
-        Ws = cs[:, I:] - cs[:, :-I]          # (B, MAXSEG*S); W[k]=sum k..k+I-1
-        T = Ws[:, : MAXSEG * S].reshape(B, MAXSEG, S)
-
-        BIGU = jnp.uint32(0xFFFFFFFF)
-        seg_mask = (n_i[None, :] < seedseg[:, None])
-        tot = jnp.where(seg_mask[:, :, None], T, 0).sum(axis=1,
-                                                        dtype=jnp.uint32)
-        off_ok = off_i[None, :] < max_off[:, None]
-        tot_m = jnp.where(off_ok, tot, BIGU)
-        s_off = jnp.where(max_off > 0,
-                          jnp.argmin(tot_m, axis=1), 0).astype(jnp.int32)
-
-        # zig-zag per-segment refinement (align.cpp:506-547)
-        def zig_body(it, start_arr):
-            half = it // 2
-            ptr = jnp.where(it % 2 == 0, half, seedseg - 1 - half)
-            active = (it < seedseg)
-            ptr_c = jnp.clip(ptr, 0, MAXSEG - 1).astype(jnp.int32)
-            prev = jnp.take_along_axis(
-                start_arr, jnp.clip(ptr_c - 1, 0, MAXSEG - 1)[:, None],
-                axis=1)[:, 0]
-            nxt = jnp.take_along_axis(
-                start_arr, jnp.clip(ptr_c + 1, 0, MAXSEG - 1)[:, None],
-                axis=1)[:, 0]
-            lo = jnp.where(ptr_c == 0, 0, prev)
-            hi = jnp.where(ptr_c == seedseg - 1, max_off, nxt)
-            costs = jnp.take_along_axis(
-                T, ptr_c[:, None, None], axis=1)[:, 0, :]   # (B, S)
-            rng_ok = (off_i[None, :] >= lo[:, None]) & \
-                     (off_i[None, :] <= hi[:, None])
-            costs_m = jnp.where(rng_ok, costs, BIGU)
-            best = jnp.argmin(costs_m, axis=1).astype(jnp.int32)
-            onehot = (n_i[None, :] == ptr_c[:, None]) & active[:, None]
-            return jnp.where(onehot, best[:, None], start_arr)
-
-        start_arr = jnp.broadcast_to(s_off[:, None], (B, MAXSEG))
-        start_arr = jax.lax.fori_loop(0, MAXSEG, zig_body, start_arr)
-
-        # segment ordering by bucket cost (seedindex, align.cpp:471-503).
-        # std::sort on pair<int,int>: cost compared as SIGNED int, ties by
-        # segment id.  Two-key sort without int64: sort (cost, n) packed as
-        # (cost^sign-flip) * 32 + n in uint64-free fashion — sort n as the
-        # low 5 bits of a uint32 only when cost < 2^26; larger (wrapped)
-        # costs are astronomically repetitive seeds, ordered by a second
-        # masked pass.  Simpler: lexicographic via two stable sorts.
-        cost_n = jnp.take_along_axis(T, start_arr[:, :, None],
-                                     axis=2)[:, :, 0]        # (B, 16) uint32
-        # signed compare: flip the sign bit to order as int32
-        cost_s = cost_n ^ jnp.uint32(0x80000000)
-        key_hi = jnp.where(seg_mask, cost_s, BIGU)
-        # stable sort by (key_hi, n): sort indices n (already ascending) by
-        # key_hi with a stable sort
-        order = jnp.argsort(key_hi, axis=1, stable=True).astype(jnp.int32)
-        return start_arr, order, o0, cnt, wc
-
-    start_f, order_f, o0_f, cnt_f, wc_f = chain_schedule(sf)
-    start_c, order_c, o0_c, cnt_c, wc_c = chain_schedule(sc)
-
-    # --- slot grid in discovery order: (rank, chain, phase) -----------------
-    slot_rank = jnp.repeat(n_i, 2 * I)                       # (NB,)
-    slot_chain = jnp.tile(jnp.repeat(jnp.arange(2, dtype=jnp.int32), I),
-                          MAXSEG)
-    slot_phase = jnp.tile(jnp.arange(I, dtype=jnp.int32), 2 * MAXSEG)
-
-    def slot_desc(start_arr, order, o0_p, cnt_p, wc_p):
-        mode = order[:, slot_rank]                           # (B, NB)
-        a = prof_a[mode, slot_phase[None, :]]
-        st = jnp.take_along_axis(start_arr, mode, axis=1)
-        k = a + st - slot_phase[None, :]
-        k_c = jnp.clip(k, 0, P - 1)
-        h = -a + slot_phase[None, :] - st
-        return (jnp.take_along_axis(o0_p, k_c, axis=1),
-                jnp.take_along_axis(cnt_p, k_c, axis=1),
-                jnp.take_along_axis(wc_p, k_c, axis=1), h)
-
-    o0f, cntf, wcf, hf = slot_desc(start_f, order_f, o0_f, cnt_f, wc_f)
-    o0c, cntc, wcc, hc = slot_desc(start_c, order_c, o0_c, cnt_c, wc_c)
-    is_c = (slot_chain[None, :] == 1)
-    off0 = jnp.where(is_c, o0c, o0f)
-    cnt = jnp.where(is_c, cntc, cntf)
-    wcnt = jnp.where(is_c, wcc, wcf)
-    h = jnp.where(is_c, hc, hf)
-
-    chain_ok = jnp.where(is_c, flag_c[:, None], flag_f[:, None])
-    valid = chain_ok & (slot_rank[None, :] < seedseg[:, None])
-    cnt = jnp.where(valid, cnt, 0)
-    cum = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32),
-         jnp.cumsum(cnt, axis=1, dtype=jnp.int32)], axis=1)
-    totals = cum[:, -1]
-    # int32 cumsum may wrap for absurdly repetitive batches; the host checks
-    # the exact total and falls back before the verify stage in that case.
-    read_cum = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(totals, dtype=jnp.int32)])
-    return qw, rw, h, off0, wcnt, cum, totals, read_cum
+    @property
+    def NB(self) -> int:
+        return self.maxseg * self.nch * self.I
 
 
 # ---------------------------------------------------------------------------
-# stage 2: candidate-axis enumerate + verify + control-flow emulation
+# flat-index helpers (all gathers must use 1-D index arrays: fast path)
 # ---------------------------------------------------------------------------
 
-def _verify_kernel_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
-                        d_rcoff, d_locs, qw, rw, lens, budgets, read_idx,
-                        h, off0, wcnt, cum, totals, read_cum):
-    B = qw.shape[0]
-    W = cfg.W
-    NB = cfg.NB
-    sidx = jnp.arange(CANDS, dtype=jnp.int32)
-
-    rid = (jnp.searchsorted(read_cum, sidx, side="right") - 1).astype(
-        jnp.int32)
-    rid = jnp.clip(rid, 0, B - 1)
-    live = sidx < read_cum[-1]
-    local = (sidx - read_cum[rid]).astype(jnp.int32)
-
-    # local slot -> bucket: binary search over this read's bucket cumsum,
-    # with flat single-element gathers (row gathers are slow on TPU).
-    cum_flat = cum.reshape(-1)
-    row = rid * (NB + 1)
-    lo = jnp.zeros(CANDS, jnp.int32)
-    hi = jnp.full((CANDS,), NB, jnp.int32)
-    nsteps = int(np.ceil(np.log2(NB + 1)))
-    for _ in range(nsteps):
-        mid = (lo + hi + 1) // 2
-        v = cum_flat[row + mid]
-        take = local >= v
-        lo = jnp.where(take, mid, lo)
-        hi = jnp.where(take, hi, mid - 1)
-    b = jnp.clip(lo, 0, NB - 1)
-    e = local - cum_flat[row + b]
-    flat = rid * NB + b
-    g_off0 = off0.reshape(-1)[flat]
-    g_wc = wcnt.reshape(-1)[flat]
-    g_h = h.reshape(-1)[flat]
-    I = cfg.I
-    chain = (b // I) % 2
-    rank = b // (2 * I)
-
-    entry = d_locs[jnp.clip(g_off0 + e, 0, d_locs.shape[0] - 1)]
-    crick = e >= g_wc
-    g = entry + g_h                                     # (CANDS,) int32
-
-    # --- gather + phase-align the reference windows -------------------------
-    wbase = (g >> 4) + jnp.where(crick, jnp.int32(W), 0)
-    kk = jnp.arange(FIXELEMENT + 1, dtype=jnp.int32)
-    widx = jnp.clip(wbase[:, None] + kk[None, :], 0, 2 * W - 1)
-    words = d_catcat[widx]                              # (CANDS, 11) u32
-    z = (g & 15).astype(jnp.uint32)
-    sl = (z * 2)[:, None]
-    w_lo = words[:, :FIXELEMENT] << sl
-    w_hi = words[:, 1:] >> (jnp.uint32(32) - sl)
-    sref = jnp.where(sl == 0, words[:, :FIXELEMENT], w_lo | w_hi)
-
-    # --- CountMismatch lanes (align.h:167-200) ------------------------------
-    q = qw[rid, chain]                                  # (CANDS, 10)
-    r = rw[rid, chain]
-    xc = ((~sref) << jnp.uint32(1)) | sref | jnp.uint32(0x55555555)
-    x = ((q & xc) ^ sref) & r
-    lanes = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
-    wmm = jax.lax.population_count(lanes).sum(axis=-1).astype(jnp.int32)
-
-    # --- coordinate transform + bounds (align.cpp:271-291) ------------------
-    c = jnp.clip(jnp.searchsorted(d_anchors, g, side="right") - 1,
-                 0, cfg.n_chr - 1).astype(jnp.int32)
-    llen = lens[rid]
-    loc_local = g - d_anchors[c]
-    wloc = jnp.where(crick, d_rcoff[c] - llen - loc_local, loc_local)
-    in_bounds = (wloc >= 0) & (wloc + llen <= d_sizes[c])
-
-    eligible = live & in_bounds & (wmm <= budgets[rid])
-
-    # --- dedup by (read, chr, watson_loc): first discovery wins -------------
-    # lexicographic (rid, chr, wloc) grouping via three stable int32 sorts
-    # (least-significant key first); ties stay in discovery order.  Avoiding
-    # int64 sort keys keeps the TPU program fast to compile and run.
-    kc = jnp.where(eligible, c, -1)
-    kw = jnp.where(eligible, wloc, sidx)
-    perm = jnp.argsort(kw, stable=True)
-    perm = perm[jnp.argsort(kc[perm], stable=True)]
-    perm = perm[jnp.argsort(rid[perm], stable=True)]
-    r_s, c_s, w_s = rid[perm], kc[perm], kw[perm]
-    first_sorted = jnp.concatenate(
-        [jnp.ones((1,), bool),
-         (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
-         | (w_s[1:] != w_s[:-1])])
-    first = jnp.zeros(CANDS, bool).at[perm].set(first_sorted)
-    acc_pre = eligible & first & (kc >= 0)
-
-    # --- progressive-sensitivity early exit (align.cpp:445-449) -------------
-    lev = jnp.where(acc_pre, wmm, BIGLEVEL)
-    minw_rank = jnp.full((B, MAXSEG), BIGLEVEL, jnp.int32).at[
-        rid, rank].min(lev)
-    prefmin = jax.lax.associative_scan(jnp.minimum, minw_rank, axis=1)
-    r_i = jnp.arange(MAXSEG, dtype=jnp.int32)
-    stopped = prefmin <= r_i[None, :]
-    any_stop = stopped.any(axis=1)
-    s_star = jnp.where(any_stop, jnp.argmax(stopped, axis=1), MAXSEG - 1)
-    accepted = acc_pre & (rank <= s_star[rid])
-
-    # --- per-level/chain counts ---------------------------------------------
-    label = jnp.where(accepted, wmm * 2 + chain, 2 * MAXSEG)
-    counts_flat = jnp.zeros((B, 2 * MAXSEG + 1), jnp.int32).at[
-        rid, label].add(1)
-    counts = counts_flat[:, : 2 * MAXSEG].reshape(B, MAXSEG, 2)
-
-    lev_sums = counts.sum(axis=2)                       # (B, 16)
-    found = lev_sums.sum(axis=1) > 0
-    ii = jnp.argmax(lev_sums > 0, axis=1).astype(jnp.int32)
-    ssum = jnp.take_along_axis(lev_sums, ii[:, None], axis=1)[:, 0]
-
-    # --- replay detection ----------------------------------------------------
-    replay = (lev_sums >= cfg.max_num_hits).any(axis=1)
-    if cfg.report_repeat_hits == 0:
-        replay = replay | (found & (ssum > 1))
-
-    # --- reproducible multi-hit selection (align.cpp:623-625) ---------------
-    j = (_myrand_hash_jnp(read_idx, cfg.randseed)
-         % jnp.maximum(ssum, 1).astype(jnp.uint32)).astype(jnp.int32)
-    nfwd = jnp.take_along_axis(counts[:, :, 0], ii[:, None], axis=1)[:, 0]
-    sel_chain = (j >= nfwd).astype(jnp.int32)
-    target = jnp.where(sel_chain == 1, j - nfwd, j) + 1
-    ind = accepted & (wmm == ii[rid]) & (chain == sel_chain[rid])
-    cs = jnp.cumsum(ind.astype(jnp.int32))
-    start_pos = jnp.clip(read_cum[rid], 0, CANDS - 1)
-    base = jnp.where(read_cum[rid] > 0, cs[start_pos - 1], 0)
-    local_rank = cs - base
-    sel = ind & (local_rank == target[rid])
-    chrp = 2 * c + crick.astype(jnp.int32)
-    sel_sidx = jnp.full((B,), CANDS, jnp.int32).at[rid].min(
-        jnp.where(sel, sidx, CANDS))
-    safe_sel = jnp.clip(sel_sidx, 0, CANDS - 1)
-    sel_chrp = chrp[safe_sel]
-    sel_wloc = wloc[safe_sel]
-
-    # first level-0 forward hit (hits[0][0] slot leak, see output/sam.py)
-    ind0 = accepted & (wmm == 0) & (chain == 0)
-    h00_sidx = jnp.full((B,), CANDS, jnp.int32).at[rid].min(
-        jnp.where(ind0, sidx, CANDS))
-    h00_found = h00_sidx < CANDS
-    safe = jnp.clip(h00_sidx, 0, CANDS - 1)
-    h00_chrp = chrp[safe]
-    h00_wloc = wloc[safe]
-
-    # one packed int32 output array -> a single device-to-host transfer
-    extras = jnp.stack(
-        [found.astype(jnp.int32), ii, ssum, sel_chain, sel_chrp, sel_wloc,
-         h00_found.astype(jnp.int32), h00_chrp, h00_wloc,
-         replay.astype(jnp.int32), totals], axis=1)
-    return jnp.concatenate([counts.reshape(B, 2 * MAXSEG), extras], axis=1)
+def _g1(tab, idx):
+    """Gather tab[idx] with idx flattened to 1-D (fast TPU gather path)."""
+    flat = tab.reshape(-1)[idx.reshape(-1)]
+    return flat.reshape(idx.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "CANDS"))
-def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, rc_code,
-                        rc_n_code, d_catcat, d_anchors, d_sizes, d_rcoff,
-                        d_locs, codes, regs, lens, budgets, readsets,
-                        read_idx):
-    """Single-dispatch chunk: schedule + verify fused.  Candidate capacity is
-    fixed; reads in chunks whose candidates overflow are detected from the
-    returned totals and replayed on the host."""
-    (qw, rw, h, off0, wcnt, cum, totals, read_cum) = _schedule_kernel_impl(
-        cfg, prof_a, d_kmer_tab, rc_code, rc_n_code, codes, regs, lens,
-        budgets, readsets)
-    return _verify_kernel_impl(cfg, CANDS, d_catcat, d_anchors, d_sizes,
-                               d_rcoff, d_locs, qw, rw, lens, budgets,
-                               read_idx, h, off0, wcnt, cum, totals,
-                               read_cum)
+def _rowg(tab2d, idx):
+    """Row-gather tab2d[idx] for 1-D idx (fast path for (N, k) tables)."""
+    return tab2d[idx.reshape(-1)].reshape(idx.shape + tab2d.shape[1:])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _totals_kernel(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
-                   codes, regs, lens, budgets, readsets):
-    """Candidate-count pre-pass: stage 1 with every output but ``totals``
-    dead-code-eliminated.  The host uses the totals to cut candidate-budgeted
-    chunks of a *fixed* compiled shape — overflow retries (and their
-    recompiles) never happen."""
-    out = _schedule_kernel_impl(cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
-                                codes, regs, lens, budgets, readsets)
-    return out[6]
+def _taa(a, idx):
+    """take_along_axis(a, idx, axis=1) via a flat 1-D gather."""
+    B, K = a.shape
+    r = jnp.arange(B, dtype=jnp.int32)[:, None] * K
+    return _g1(a, r + idx)
 
+
+def _satadd_scan(x):
+    """Inclusive saturating-add scan (monotone even when true sums would
+    overflow int32; saturating add is associative for nonneg values)."""
+    sat = lambda a, b: jnp.minimum(a + b, SATLIM)
+    return jax.lax.associative_scan(sat, x)
+
+
+# ---------------------------------------------------------------------------
+# stage 1: read-axis pack + seed schedule
+# ---------------------------------------------------------------------------
 
 def _pack(codes):
     """(B, FIXSIZE) uint8 codes -> (B, FIXELEMENT) uint32, first base in the
@@ -447,18 +159,313 @@ def _seed_array(codes, S, P):
     return acc
 
 
-def _myrand_hash_jnp(read_idx, randseed: int):
-    """utilities.cpp:40-50 xorshift hash on device (uint64, x64 enabled)."""
-    v = (read_idx.astype(jnp.uint64) + jnp.uint64(randseed * 1000000))
-    v = v * jnp.uint64(3935559000370003845) + jnp.uint64(2691343689449507681)
-    v = v ^ (v >> jnp.uint64(21))
-    v = v ^ (v << jnp.uint64(37))
-    v = v ^ (v >> jnp.uint64(4))
-    v = v * jnp.uint64(4768777513237032717)
-    v = v ^ (v << jnp.uint64(20))
-    v = v ^ (v >> jnp.uint64(41))
-    v = v ^ (v << jnp.uint64(5))
-    return (v & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
+                   codes, regs, lens, budgets):
+    B = codes.shape[0]
+    S, I, P, MS = cfg.S, cfg.I, cfg.P, cfg.maxseg
+
+    chains = []
+    if cfg.chains_mode in ("f", "b"):
+        chains.append((codes, regs))
+    if cfg.chains_mode in ("r", "b"):
+        # reverse-complement chain (ConvertBinaySeq align.cpp:131-161)
+        pos = jnp.arange(FIXSIZE, dtype=jnp.int32)
+        src = lens[:, None] - 1 - pos[None, :]
+        src_c = jnp.clip(src, 0, FIXSIZE - 1)
+        g_codes = _taa(codes, src_c)
+        g_regs = _taa(regs, src_c)
+        in_rng = src >= 0
+        ccodes = jnp.where(in_rng & (g_regs > 0), _g1(rc_code, g_codes),
+                           jnp.where(in_rng, rc_n_code.astype(jnp.uint8),
+                                     jnp.uint8(0)))
+        cregs = jnp.where(in_rng, g_regs, jnp.uint8(0))
+        chains.append((ccodes, cregs))
+
+    qw = jnp.stack([_pack(c) for c, _ in chains], axis=1)   # (B, nch, 10)
+    rw = jnp.stack([_pack(r) for _, r in chains], axis=1)
+
+    seedseg = jnp.clip(jnp.minimum((lens - I + 1) // S, budgets + 1), 0, MS)
+    max_off = (lens - I + 1) % S
+
+    n_i = jnp.arange(MS, dtype=jnp.int32)
+    off_i = jnp.arange(S, dtype=jnp.int32)
+    BIGU = jnp.uint32(0xFFFFFFFF)
+
+    def chain_schedule(ccodes):
+        sarr = _seed_array(ccodes, S, P)            # (B, P) int32
+        # per-position bucket rows: the only random-access gather of stage 1
+        rows = _rowg(d_kmer_tab, sarr)              # (B, P, 4) int32
+        o0, cnt, wc = rows[..., 0], rows[..., 1], rows[..., 2]
+        # reference cost includes the +2 CSR header slots (dbseq.cpp:381).
+        # Sums are WRAPPING uint32 like the reference's bit32_t totals
+        # (align.cpp:455,507).
+        cost = jnp.where(cnt > 0, cnt + 2, 0).astype(jnp.uint32)
+
+        # CountSeeds(n, off) = sum of cost over positions [n*S+off,
+        # n*S+off+I): a sliding-window sum.
+        WLEN = MS * S + I
+        cost_p = jnp.zeros((B, WLEN + 1), jnp.uint32)
+        cost_p = cost_p.at[:, 1: min(P, WLEN) + 1].set(cost[:, :WLEN])
+        cs = jnp.cumsum(cost_p, axis=1)
+        Ws = cs[:, I:] - cs[:, :-I]                 # W[k] = sum k..k+I-1
+        T = Ws[:, : MS * S].reshape(B, MS, S)
+
+        seg_mask = (n_i[None, :] < seedseg[:, None])
+        tot = jnp.where(seg_mask[:, :, None], T, 0).sum(axis=1,
+                                                        dtype=jnp.uint32)
+        off_ok = off_i[None, :] < max_off[:, None]
+        tot_m = jnp.where(off_ok, tot, BIGU)
+        s_off = jnp.where(max_off > 0,
+                          jnp.argmin(tot_m, axis=1), 0).astype(jnp.int32)
+
+        # zig-zag per-segment refinement (align.cpp:506-547)
+        def zig_body(it, start_arr):
+            half = it // 2
+            ptr = jnp.where(it % 2 == 0, half, seedseg - 1 - half)
+            active = (it < seedseg)
+            ptr_c = jnp.clip(ptr, 0, MS - 1).astype(jnp.int32)
+            prev = _taa(start_arr, jnp.clip(ptr_c - 1, 0, MS - 1)[:, None])[:, 0]
+            nxt = _taa(start_arr, jnp.clip(ptr_c + 1, 0, MS - 1)[:, None])[:, 0]
+            lo = jnp.where(ptr_c == 0, 0, prev)
+            hi = jnp.where(ptr_c == seedseg - 1, max_off, nxt)
+            costs = _taa(T.reshape(B, MS * S),
+                         ptr_c[:, None] * S + off_i[None, :])   # (B, S)
+            rng_ok = (off_i[None, :] >= lo[:, None]) & \
+                     (off_i[None, :] <= hi[:, None])
+            costs_m = jnp.where(rng_ok, costs, BIGU)
+            best = jnp.argmin(costs_m, axis=1).astype(jnp.int32)
+            onehot = (n_i[None, :] == ptr_c[:, None]) & active[:, None]
+            return jnp.where(onehot, best[:, None], start_arr)
+
+        start_arr = jnp.broadcast_to(s_off[:, None], (B, MS))
+        start_arr = jax.lax.fori_loop(0, MS, zig_body, start_arr)
+
+        # segment ordering cheapest-bucket-first (seedindex align.cpp:471-503)
+        # std::sort on pair<int,int>(cost, n): cost compared as SIGNED int,
+        # ties by segment id (stable argsort over ascending n).
+        cost_n = _taa(T.reshape(B, MS * S), n_i[None, :] * S + start_arr)
+        cost_s = cost_n ^ jnp.uint32(0x80000000)    # order uint as int32
+        key_hi = jnp.where(seg_mask, cost_s, BIGU)
+        order = jnp.argsort(key_hi, axis=1, stable=True).astype(jnp.int32)
+        return start_arr, order, o0, cnt, wc, s_off
+
+    scheds = [chain_schedule(c) for c, _ in chains]
+
+    # --- slot grid in discovery order: (rank, chain, phase) -----------------
+    NB, nch = cfg.NB, cfg.nch
+    slot_rank = jnp.repeat(n_i, nch * I)                     # (NB,)
+    slot_cs = jnp.tile(jnp.repeat(jnp.arange(nch, dtype=jnp.int32), I), MS)
+    slot_phase = jnp.tile(jnp.arange(I, dtype=jnp.int32), nch * MS)
+
+    def slot_desc(start_arr, order, o0_p, cnt_p, wc_p):
+        mode = _taa(order, jnp.broadcast_to(slot_rank[None, :], (B, NB)))
+        a = _g1(prof_a, mode * I + slot_phase[None, :])
+        st = _taa(start_arr, mode)
+        k = a + st - slot_phase[None, :]
+        k_c = jnp.clip(k, 0, P - 1)
+        h = -a + slot_phase[None, :] - st
+        # positions beyond the read's fresh seed range are stale-state
+        # corners handled by host replay; zero them so the device result
+        # (discarded for those reads) stays in-bounds
+        fresh = (k >= 0) & (k <= (lens - S)[:, None])
+        return (_taa(o0_p, k_c), jnp.where(fresh, _taa(cnt_p, k_c), 0),
+                _taa(wc_p, k_c), h)
+
+    descs = [slot_desc(st, o, o0p, cp, wp) for st, o, o0p, cp, wp, _ in scheds]
+    if nch == 2:
+        is_c = (slot_cs[None, :] == 1)
+        off0 = jnp.where(is_c, descs[1][0], descs[0][0])
+        cnt = jnp.where(is_c, descs[1][1], descs[0][1])
+        wcnt = jnp.where(is_c, descs[1][2], descs[0][2])
+        h = jnp.where(is_c, descs[1][3], descs[0][3])
+    else:
+        off0, cnt, wcnt, h = descs[0]
+
+    valid = slot_rank[None, :] < seedseg[:, None]
+    cnt = jnp.where(valid, cnt, 0)
+    # MateState carry: per-chain chosen global start offsets (s_off / c_off)
+    s_off_out = scheds[0][5]
+    c_off_out = scheds[-1][5] if cfg.chains_mode != "f" else \
+        jnp.zeros((B,), jnp.int32)
+    if cfg.chains_mode == "r":
+        s_off_out = jnp.zeros((B,), jnp.int32)
+    return qw, rw, h, off0, wcnt, cnt, s_off_out, c_off_out
+
+
+# ---------------------------------------------------------------------------
+# stage 2: candidate-axis enumerate + verify + control-flow emulation
+# ---------------------------------------------------------------------------
+
+def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
+                 d_rcoff, d_locs, qw, rw, lens, budgets, rand32,
+                 h, off0, wcnt, cnt, s_off, c_off):
+    B = qw.shape[0]
+    W, NB, nch, I, MS = cfg.W, cfg.NB, cfg.nch, cfg.I, cfg.maxseg
+    sidx = jnp.arange(CANDS, dtype=jnp.int32)
+
+    # --- global candidate layout: saturating cumsum of slot counts ----------
+    cnt_flat = jnp.minimum(cnt.reshape(-1), SATLIM).astype(jnp.uint32)
+    gcum_i = _satadd_scan(cnt_flat)                          # inclusive
+    starts = jnp.concatenate([jnp.zeros(1, jnp.uint32),
+                              gcum_i[:-1]]).astype(jnp.int32)
+    ends = gcum_i.astype(jnp.int32)
+    total_all = ends[-1]
+
+    # candidate -> slot id: scatter each nonempty slot's id at its start,
+    # then a forward running max (1-D scatter + scan: fast TPU path).
+    slot_ids = jnp.arange(B * NB, dtype=jnp.int32)
+    tgt = jnp.where((cnt_flat > 0) & (starts < CANDS), starts, CANDS)
+    fid0 = jnp.full((CANDS + 1,), -1, jnp.int32).at[tgt].max(slot_ids)
+    fid = jax.lax.associative_scan(jnp.maximum, fid0[:CANDS])
+    fid = jnp.clip(fid, 0, B * NB - 1)
+    live = sidx < total_all
+    rid = fid // NB
+    b = fid - rid * NB
+    rank = b // (nch * I)
+    if nch == 2:
+        chain = (b // I) % 2
+    else:
+        chain = jnp.zeros((CANDS,), jnp.int32) if cfg.chains_mode == "f" \
+            else jnp.ones((CANDS,), jnp.int32)
+    e = sidx - _g1(starts, fid)
+
+    g_off0 = _g1(off0, fid)
+    g_wc = _g1(wcnt, fid)
+    g_h = _g1(h, fid)
+
+    entry = _g1(d_locs, jnp.clip(g_off0 + e, 0, d_locs.shape[0] - 1))
+    crick = e >= g_wc
+    g = entry + g_h                                     # (CANDS,) int32
+
+    # --- gather + phase-align the reference windows (11 x 1-D gathers) ------
+    wbase = (g >> 4) + jnp.where(crick, jnp.int32(W), 0)
+    wbase = jnp.clip(wbase, 0, 2 * W - FIXELEMENT - 1)
+    words = jnp.stack([_g1(d_catcat, wbase + k)
+                       for k in range(FIXELEMENT + 1)], axis=1)
+    z = (g & 15).astype(jnp.uint32)
+    sl = (z * 2)[:, None]
+    w_lo = words[:, :FIXELEMENT] << sl
+    w_hi = words[:, 1:] >> (jnp.uint32(32) - sl)
+    sref = jnp.where(sl == 0, words[:, :FIXELEMENT], w_lo | w_hi)
+
+    # --- CountMismatch lanes (align.h:167-200) ------------------------------
+    qrow = rid * nch + (chain if nch == 2 else 0)
+    q = _rowg(qw.reshape(B * nch, FIXELEMENT), qrow)
+    r = _rowg(rw.reshape(B * nch, FIXELEMENT), qrow)
+    xc = ((~sref) << jnp.uint32(1)) | sref | jnp.uint32(0x55555555)
+    x = ((q & xc) ^ sref) & r
+    lanes = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
+    wmm = jax.lax.population_count(lanes).sum(axis=-1).astype(jnp.int32)
+
+    # --- coordinate transform + bounds (align.cpp:271-291) ------------------
+    c = jnp.clip(jnp.searchsorted(d_anchors, g, side="right") - 1,
+                 0, cfg.n_chr - 1).astype(jnp.int32)
+    llen = _g1(lens, rid)
+    loc_local = g - _g1(d_anchors, c)
+    wloc = jnp.where(crick, _g1(d_rcoff, c) - llen - loc_local, loc_local)
+    in_bounds = (wloc >= 0) & (wloc + llen <= _g1(d_sizes, c))
+
+    eligible = live & in_bounds & (wmm <= _g1(budgets, rid))
+
+    # --- dedup by (read, chr, watson_loc): first discovery wins -------------
+    # lexicographic (rid*nchr+c, wloc) grouping via two stable int32 sorts
+    # (least-significant key first); ties stay in discovery order.
+    kc = jnp.where(eligible, rid * cfg.n_chr + c, -1)
+    kw = jnp.where(eligible, wloc, sidx)
+    perm = jnp.argsort(kw, stable=True)
+    perm = _g1(perm, jnp.argsort(_g1(kc, perm), stable=True))
+    c_s, w_s = _g1(kc, perm), _g1(kw, perm)
+    first_sorted = jnp.concatenate(
+        [jnp.ones((1,), bool), (c_s[1:] != c_s[:-1]) | (w_s[1:] != w_s[:-1])])
+    first = jnp.zeros(CANDS, bool).at[perm].set(first_sorted)
+    acc_pre = eligible & first & (kc >= 0)
+
+    # --- progressive-sensitivity early exit (align.cpp:445-449) -------------
+    lev = jnp.where(acc_pre, wmm, BIGLEVEL)
+    minw_rank = jnp.full((B * MS,), BIGLEVEL, jnp.int32).at[
+        rid * MS + rank].min(lev).reshape(B, MS)
+    prefmin = jax.lax.associative_scan(jnp.minimum, minw_rank, axis=1)
+    r_i = jnp.arange(MS, dtype=jnp.int32)
+    stopped = prefmin <= r_i[None, :]
+    any_stop = stopped.any(axis=1)
+    s_star = jnp.where(any_stop, jnp.argmax(stopped, axis=1), MS - 1)
+    accepted = acc_pre & (rank <= _g1(s_star, rid))
+
+    # --- per-level/chain counts ---------------------------------------------
+    label = jnp.where(accepted, wmm * 2 + chain, 2 * MS)
+    counts = jnp.zeros((B * (2 * MS + 1),), jnp.int32).at[
+        rid * (2 * MS + 1) + label].add(1).reshape(B, 2 * MS + 1)
+    counts = counts[:, : 2 * MS].reshape(B, MS, 2)
+
+    lev_sums = counts.sum(axis=2)                       # (B, maxseg)
+    found = lev_sums.sum(axis=1) > 0
+    ii = jnp.argmax(lev_sums > 0, axis=1).astype(jnp.int32)
+    ssum = _taa(lev_sums, ii[:, None])[:, 0]
+
+    # --- replay detection ----------------------------------------------------
+    replay = (lev_sums >= cfg.max_num_hits).any(axis=1)
+    if cfg.report_repeat_hits == 0:
+        replay = replay | (found & (ssum > 1))
+
+    # --- reproducible multi-hit selection (align.cpp:623-625) ---------------
+    j = (rand32 % jnp.maximum(ssum, 1).astype(jnp.uint32)).astype(jnp.int32)
+    nfwd = _taa(counts[:, :, 0], ii[:, None])[:, 0]
+    sel_chain = (j >= nfwd).astype(jnp.int32)
+    target = jnp.where(sel_chain == 1, j - nfwd, j) + 1
+    ind = accepted & (wmm == _g1(ii, rid)) & (chain == _g1(sel_chain, rid))
+    cs = jnp.cumsum(ind.astype(jnp.int32))
+    read_start = _g1(starts, rid * NB)
+    start_pos = jnp.clip(read_start, 0, CANDS - 1)
+    base = jnp.where(read_start > 0, _g1(cs, start_pos - 1), 0)
+    local_rank = cs - base
+    sel = ind & (local_rank == _g1(target, rid))
+    chrp = 2 * c + crick.astype(jnp.int32)
+    sel_sidx = jnp.full((B,), CANDS, jnp.int32).at[rid].min(
+        jnp.where(sel, sidx, CANDS))
+    safe_sel = jnp.clip(sel_sidx, 0, CANDS - 1)
+    sel_chrp = _g1(chrp, safe_sel)
+    sel_wloc = _g1(wloc, safe_sel)
+
+    # first level-0 forward hit (hits[0][0] slot leak, see output/sam.py)
+    ind0 = accepted & (wmm == 0) & (chain == 0)
+    h00_sidx = jnp.full((B,), CANDS, jnp.int32).at[rid].min(
+        jnp.where(ind0, sidx, CANDS))
+    h00_found = h00_sidx < CANDS
+    safe = jnp.clip(h00_sidx, 0, CANDS - 1)
+    h00_chrp = _g1(chrp, safe)
+    h00_wloc = _g1(wloc, safe)
+
+    # per-read totals (saturated; anything >= CANDS triggers retry anyway)
+    rstart = starts.reshape(B, NB)[:, 0]
+    rend = jnp.concatenate([rstart[1:], total_all[None]])
+    totals = rend - rstart
+
+    # one packed int32 output array -> a single device-to-host transfer
+    extras = jnp.stack(
+        [found.astype(jnp.int32), ii, ssum, sel_chain, sel_chrp, sel_wloc,
+         h00_found.astype(jnp.int32), h00_chrp, h00_wloc,
+         replay.astype(jnp.int32), totals, s_off, c_off], axis=1)
+    return jnp.concatenate([counts.reshape(B, 2 * MS), extras], axis=1)
+
+
+N_EXTRAS = 13
+(X_FOUND, X_II, X_SSUM, X_CHAIN, X_CHRP, X_WLOC, X_H00F, X_H00C, X_H00W,
+ X_REPLAY, X_TOTAL, X_SOFF, X_COFF) = range(N_EXTRAS)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "CANDS"))
+def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, rc_code,
+                        rc_n_code, d_catcat, d_anchors, d_sizes, d_rcoff,
+                        d_locs, codes, regs, lens, budgets, rand32):
+    """Single-dispatch chunk: schedule + verify fused.  Candidate capacity is
+    fixed; reads whose candidates ran past it are detected from the returned
+    totals and re-dispatched (or host-replayed when one read exceeds it)."""
+    (qw, rw, h, off0, wcnt, cnt, s_off, c_off) = _schedule_impl(
+        cfg, prof_a, d_kmer_tab, rc_code, rc_n_code, codes, regs, lens,
+        budgets)
+    return _verify_impl(cfg, CANDS, d_catcat, d_anchors, d_sizes, d_rcoff,
+                        d_locs, qw, rw, lens, budgets, rand32, h, off0,
+                        wcnt, cnt, s_off, c_off)
 
 
 # ---------------------------------------------------------------------------
@@ -494,8 +501,6 @@ class DeviceEngine:
                                          dtype=jnp.int32))
         self.d_sizes = put(jnp.asarray(genome.sizes, dtype=jnp.int32))
         self.d_rcoff = put(jnp.asarray(genome.rc_offsets, dtype=jnp.int32))
-        self.d_offsets = put(jnp.asarray(index.offsets, dtype=jnp.int32))
-        self.d_wcounts = put(jnp.asarray(index.wcounts, dtype=jnp.int32))
         # combined (offset, count, wcount, 0) rows: one 16B gather per seed
         # position in the scheduler instead of three scattered ones
         tk = index.total_kmers
@@ -504,29 +509,124 @@ class DeviceEngine:
         kmer_tab[:, 1] = np.diff(index.offsets)
         kmer_tab[:, 2] = index.wcounts
         self.d_kmer_tab = put(jnp.asarray(kmer_tab))
-        self.d_locs = put(jnp.asarray(index.locs.astype(np.int64),
-                                      dtype=jnp.int32))
+        self.d_locs = put(jnp.asarray(
+            index.locs.astype(np.int64), dtype=jnp.int32))
         I = param.index_interval
         self.prof_a = put(jnp.asarray(
             [[param.profile[n][i].a for i in range(I)]
-             for n in range(MAXSEG)], dtype=jnp.int32))
+             for n in range(MAXSNPS + 1)], dtype=jnp.int32))
         rc = [int(param.alphabet[REV_CHAR[ord(param.useful_nt[c])]])
               for c in range(4)]
         self.rc_code = put(jnp.asarray(rc, dtype=jnp.uint8))
         self.rc_n_code = put(jnp.asarray(int(param.rev_alphabet[ord("N")]),
                                          dtype=jnp.uint8))
         self.B = DEV_BATCH             # reads per device dispatch
-        self.CANDS = CANDS_FIXED       # candidate capacity per dispatch
+        self.CANDS = CANDS_PER_READ * self.B
         self.n_filtered = 0
         self.n_replayed = 0
+        # MateState bookkeeping for stale-schedule reads (see module
+        # docstring); lazily reconstructed from spans of device-handled reads
+        self._maxseg = min(MAXSNPS, param.max_snp_num) + 1
+        self._amax_cache: dict[int, int] = {}
+        self._cmax_cache: dict[int, int] = {}
 
-    def _cfg(self, posmax: int) -> Cfg:
+    def _cfg(self, chains_mode: str) -> Cfg:
         p = self.param
-        return Cfg(S=p.seed_size, I=p.index_interval,
-                   NB=MAXSEG * 2 * p.index_interval, POSMAX=posmax,
-                   chains=p.chains, max_num_hits=p.max_num_hits,
+        S, I = p.seed_size, p.index_interval
+        MS = self._maxseg
+        P = min(FIXSIZE - S + 1, MS * S + 2 * I)
+        return Cfg(S=S, I=I, maxseg=MS, chains_mode=chains_mode, P=P,
+                   max_num_hits=p.max_num_hits,
                    report_repeat_hits=p.report_repeat_hits,
-                   randseed=p.randseed, W=self.W, n_chr=self.genome.n_chr)
+                   W=self.W, n_chr=self.genome.n_chr)
+
+    def _chains_mode(self, rsets: np.ndarray) -> str:
+        if self.param.chains:
+            return "b"
+        if (rsets == 2).all():
+            return "r"
+        if (rsets < 2).all():
+            return "f"
+        return "b"
+
+    # -- stale-schedule (MateState) detection --------------------------------
+
+    def _probe_amax(self, seedseg: int) -> int:
+        """Max over (segment, phase) of profile.a - phase for the last
+        segment: bounds how far probe positions reach past seedseg*S."""
+        if seedseg not in self._amax_cache:
+            p = self.param
+            if seedseg <= 0:
+                self._amax_cache[seedseg] = 0
+            else:
+                self._amax_cache[seedseg] = max(
+                    p.profile[seedseg - 1][i].a - i
+                    for i in range(p.index_interval))
+        return self._amax_cache[seedseg]
+
+    def _stale_risk(self, lens: np.ndarray, budgets: np.ndarray) -> np.ndarray:
+        """True for reads whose schedule may read stale per-instance state
+        (previous reads' seed buffers / start offsets, align.cpp:454-469):
+        max_offset == 0, or any probed / cost position can exceed len - S."""
+        p = self.param
+        S, I = p.seed_size, p.index_interval
+        lens = lens.astype(np.int64)
+        max_off = (lens - I + 1) % S
+        seedseg = np.clip(np.minimum((lens - I + 1) // S, budgets + 1),
+                          0, self._maxseg)
+        amax = np.array([self._probe_amax(int(m))
+                         for m in range(self._maxseg + 1)], dtype=np.int64)
+        probe_max = amax[seedseg] + max_off
+        cost_max = (seedseg - 1) * S + max_off + I - 1
+        reach = np.maximum(probe_max, cost_max)
+        return (max_off == 0) | (reach > lens - S)
+
+    def _sync_state_span(self, batch, live_idx, lo: int, hi: int,
+                         dev_soff, dev_coff, lens, replay_flag, mode: str):
+        """Apply the MateState effects of device-handled reads [lo, hi) (batch
+        order) before a host replay that may read stale state.  Seed buffers:
+        last-writer-wins backward fill; start offsets: last read with
+        max_offset > 0 (align.cpp:458-468).  Replayed reads already updated
+        the state through run_align, so only a *later* device-handled read
+        may overwrite the offsets."""
+        if hi <= lo:
+            return
+        p = self.param
+        st = self.host.mate_state
+        S, I = p.seed_size, p.index_interval
+        # start offsets: last preceding read with max_off > 0; skip if that
+        # read was itself host-replayed (its run_align already set them)
+        span_lens = lens[lo:hi]
+        mo = (span_lens - I + 1) % S
+        nz = np.nonzero(mo > 0)[0]
+        if len(nz):
+            k = lo + int(nz[-1])
+            if not replay_flag[k]:
+                if mode in ("f", "b"):
+                    st.seed_start_offset = int(dev_soff[k])
+                if mode in ("r", "b"):
+                    st.cseed_start_offset = int(dev_coff[k])
+        # seed buffers: walk backward, filling uncovered entries
+        from ..encoding import seed_values
+        need = np.ones(MateState.SEEDBUF, dtype=bool)
+        for k in range(hi - 1, lo - 1, -1):
+            rd = batch[live_idx[k]]
+            L = len(rd.seq)
+            if L < S:
+                continue
+            n_ent = L - S + 1
+            fill = need[:n_ent]
+            if fill.any():
+                sb = np.frombuffer(rd.seq.encode("latin1"), dtype=np.uint8)
+                codes = p.alphabet[sb].astype(np.int8)
+                sv = seed_values(codes, S)
+                st.seed_buf[:n_ent][fill] = sv[fill]
+                ccodes = p.rev_alphabet[sb[::-1]].astype(np.int8)
+                csv = seed_values(ccodes, S)
+                st.cseed_buf[:n_ent][fill] = csv[fill]
+                need[:n_ent] = False
+            if not need[:max(0, int(lens[lo:hi].max()) - S + 1)].any():
+                break
 
     # -- batch orchestration -------------------------------------------------
 
@@ -590,41 +690,29 @@ class DeviceEngine:
         rsets[:] = [batch[i].readset for i in idxs]
         return codes, regs, lens, buds, rsets, ridx
 
-    def _pad_to(self, arrs, lo, hi, B):
-        out = []
-        for a in arrs:
-            pad = np.zeros((B,) + a.shape[1:], dtype=a.dtype)
-            pad[: hi - lo] = a[lo:hi]
-            out.append(jnp.asarray(pad))
-        return out
-
-    def _stripe_shape(self, n: int):
-        """(stripes per dispatch, reads per stripe, candidate capacity per
-        stripe).  The sharded engine overrides this: one stripe per device."""
-        B = self.B if n > 2048 else min(self.B, _round_pow2(n))
-        return 1, B, self.CANDS
-
-    def _run_totals(self, cfg, padded):
-        c_, r_, l_, b_, s_ = padded
-        return _totals_kernel(cfg, self.prof_a, self.d_kmer_tab,
-                              self.rc_code, self.rc_n_code,
-                              c_, r_, l_, b_, s_)
-
-    def _run_fused(self, cfg, padded):
-        c_, r_, l_, b_, s_, x_ = padded
+    def _dispatch(self, cfg: Cfg, arrs5):
+        """One async kernel dispatch on padded (B,)-shaped numpy arrays."""
+        c_, r_, l_, b_, rnd = (jnp.asarray(a) for a in arrs5)
         return _align_fused_kernel(
             cfg, self.CANDS, self.prof_a, self.d_kmer_tab, self.rc_code,
             self.rc_n_code, self.d_catcat, self.d_anchors, self.d_sizes,
-            self.d_rcoff, self.d_locs, c_, r_, l_, b_, s_, x_)
+            self.d_rcoff, self.d_locs, c_, r_, l_, b_, rnd)
 
-    def _pad_stripes(self, arrs, stripes, B_loc, NS):
-        """Stack stripe ranges into (NS*B_loc)-row padded device arrays."""
+    def _chunk_cum(self, tot: np.ndarray) -> np.ndarray:
+        """Running candidate totals within one dispatched chunk (the sharded
+        engine overrides this: capacity resets at each device stripe)."""
+        cum = np.zeros(len(tot) + 1, dtype=np.int64)
+        np.cumsum(tot, out=cum[1:])
+        return cum
+
+    def _pad_window(self, arrs, sel):
+        """Gather rows `sel` of each array, zero-padded up to self.B rows."""
         out = []
+        B = self.B
         for a in arrs:
-            pad = np.zeros((NS * B_loc,) + a.shape[1:], dtype=a.dtype)
-            for s, (lo, hi) in enumerate(stripes):
-                pad[s * B_loc: s * B_loc + hi - lo] = a[lo:hi]
-            out.append(jnp.asarray(pad))
+            pad = np.zeros((B,) + a.shape[1:], dtype=a.dtype)
+            pad[: len(sel)] = a[sel]
+            out.append(pad)
         return out
 
     def align_batch(self, batch: list[Read]):
@@ -633,83 +721,83 @@ class DeviceEngine:
         n = len(live_idx)
         if n == 0:
             return results
-        arrs = self._pack_host(batch, live_idx, budgets)
-        codes, regs, lens, buds, rsets, ridx = arrs
-        maxlen = int(lens.max()) if n else self.param.seed_size
-        posmax = min(FIXSIZE - self.param.seed_size + 1,
-                     _round16(maxlen - self.param.seed_size + 1))
-        cfg = self._cfg(posmax)
-        NS, B_loc, C_loc = self._stripe_shape(n)
-        W = NS * B_loc
+        codes, regs, lens, buds, rsets, ridx = self._pack_host(
+            batch, live_idx, budgets)
+        rand32 = myrand_hash(ridx, self.param.randseed)
+        cfg = self._cfg(self._chains_mode(rsets))
 
-        # pre-pass: per-read candidate totals (cheap; windows pipelined)
-        pend = []
-        for lo in range(0, n, W):
-            hi = min(lo + W, n)
-            padded = self._pad_to(arrs[:5], lo, hi, W)
-            pend.append(self._run_totals(cfg, padded))
-        totals = np.concatenate([np.asarray(t) for t in pend])[:n]
-        totals = totals.astype(np.int64)
+        risk = self._stale_risk(lens, buds)
+        arrs = (codes, regs, lens, buds, rand32)
 
-        # cut [lo, hi) stripes so each fits one stripe's candidate capacity
-        stripes = []
-        lo = 0
-        while lo < n:
-            if totals[lo] > C_loc:
-                # single over-capacity read: exact host replay
-                i = live_idx[lo]
-                results[i] = self.host.run_align(batch[i], int(buds[lo]))
-                self.n_replayed += 1
-                lo += 1
-                continue
-            acc = 0
-            hi = lo
-            while (hi < n and hi - lo < B_loc
-                   and acc + totals[hi] <= C_loc):
-                acc += totals[hi]
-                hi += 1
-            stripes.append((lo, hi))
-            lo = hi
-        chunks = [stripes[i: i + NS] for i in range(0, len(stripes), NS)]
+        # results come back as packed int32 rows, one per live read
+        MS = cfg.maxseg
+        out_rows = np.zeros((n, 2 * MS + N_EXTRAS), dtype=np.int32)
+        done = np.zeros(n, dtype=bool)
 
-        # 1-deep software pipeline: dispatch chunk k+1 before collecting
-        # chunk k (device work and host post-processing overlap).
-        pending = None
-        for ch in chunks:
-            padded = self._pad_stripes(arrs, ch, B_loc, NS)
-            out = self._run_fused(cfg, padded)
-            if pending is not None:
-                self._collect_chunk(batch, live_idx, budgets, *pending,
-                                    B_loc, results)
-            pending = (ch, out)
-        if pending is not None:
-            self._collect_chunk(batch, live_idx, budgets, *pending, B_loc,
-                                results)
+        todo = np.arange(n, dtype=np.int64)
+        while len(todo):
+            # optimistic windows of B reads; all dispatched before collection
+            wins = [todo[i: i + self.B] for i in range(0, len(todo), self.B)]
+            pend = []
+            for sel in wins:
+                out = self._dispatch(cfg, self._pad_window(arrs, sel))
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
+                pend.append((sel, out))
+            next_todo = []
+            for sel, out in pend:
+                rows = np.asarray(out)[: len(sel)]
+                tot = rows[:, 2 * MS + X_TOTAL].astype(np.int64)
+                cum = self._chunk_cum(tot)
+                # a read's result is exact iff its whole candidate range fit
+                ok = cum[1:] <= self.CANDS
+                out_rows[sel[ok]] = rows[ok]
+                done[sel[ok]] = True
+                bad = sel[~ok]
+                if len(bad):
+                    first_bad = int(np.argmax(~ok))
+                    if tot[first_bad] > self.CANDS:
+                        # this read alone exceeds capacity: exact host replay
+                        k = sel[first_bad]
+                        out_rows[k] = 0
+                        out_rows[k, 2 * MS + X_REPLAY] = 1
+                        done[k] = True
+                        bad = bad[bad != k]
+                    next_todo.append(bad)
+            # each round completes at least the overflow window's head, so
+            # this terminates; re-window the spilled tail and go again
+            todo = (np.concatenate(next_todo)
+                    if next_todo else np.zeros(0, dtype=np.int64))
+
+        # --- in-order collection with exact MateState maintenance -----------
+        replay_flag = (out_rows[:, 2 * MS + X_REPLAY] != 0) | risk
+        dev_soff = out_rows[:, 2 * MS + X_SOFF]
+        dev_coff = out_rows[:, 2 * MS + X_COFF]
+        replay_pos = np.nonzero(replay_flag)[0]
+        cursor = 0
+        for rpos in replay_pos:
+            rpos = int(rpos)
+            if risk[rpos]:
+                # replay may READ stale state: sync it first
+                self._sync_state_span(batch, live_idx, cursor, rpos,
+                                      dev_soff, dev_coff, lens, replay_flag,
+                                      cfg.chains_mode)
+                cursor = rpos + 1   # run_align updates the state itself
+            i = live_idx[rpos]
+            results[i] = self.host.run_align(batch[i], int(buds[rpos]))
+            self.n_replayed += 1
+        # keep the state current through the batch tail: a LATER batch may
+        # contain stale-schedule reads whose replay reads this state
+        self._sync_state_span(batch, live_idx, cursor, n, dev_soff,
+                              dev_coff, lens, replay_flag, cfg.chains_mode)
+
+        for t in np.nonzero(~replay_flag)[0]:
+            t = int(t)
+            results[live_idx[t]] = DeviceView(out_rows[t], MS,
+                                              int(buds[t]))
         return results
-
-    def _collect_chunk(self, batch, live_idx, budgets, stripes, out, B_loc,
-                       results):
-        packed = np.asarray(out)
-        counts = packed[:, : 2 * MAXSEG].reshape(-1, MAXSEG, 2)
-        (found, ii, ssum, sel_chain, sel_chrp, sel_wloc,
-         h00_found, h00_chrp, h00_wloc, replay,
-         totals) = packed[:, 2 * MAXSEG:].T
-
-        for s, (lo, hi) in enumerate(stripes):
-            for k in range(hi - lo):
-                t = s * B_loc + k
-                i = live_idx[lo + k]
-                if replay[t]:
-                    results[i] = self.host.run_align(batch[i],
-                                                     budgets[lo + k])
-                    self.n_replayed += 1
-                else:
-                    results[i] = DeviceView(
-                        counts[t], int(budgets[lo + k]), bool(found[t]),
-                        int(ii[t]), int(ssum[t]), int(sel_chain[t]),
-                        (int(sel_chrp[t]), int(sel_wloc[t])),
-                        bool(h00_found[t]),
-                        (int(h00_chrp[t]), int(h00_wloc[t])))
 
     def format_batch(self, batch: list[Read], fmt) -> str:
         results = self.align_batch(batch)
@@ -728,26 +816,19 @@ class DeviceView:
 
     filtered = False
 
-    def __init__(self, counts, budget, found, level, ssum, chain, hit,
-                 h00_found, h00):
-        self.n_hit = counts[:, 0]
-        self.n_chit = counts[:, 1]
+    def __init__(self, row: np.ndarray, maxseg: int, budget: int):
+        counts = row[: 2 * maxseg].reshape(maxseg, 2)
+        ex = row[2 * maxseg:]
+        # pad histograms to MAXSNPS+1 (BSP prints 0..read_max_snp_num)
+        self.n_hit = np.zeros(MAXSNPS + 1, dtype=np.int32)
+        self.n_chit = np.zeros(MAXSNPS + 1, dtype=np.int32)
+        self.n_hit[:maxseg] = counts[:, 0]
+        self.n_chit[:maxseg] = counts[:, 1]
         self.read_max_snp_num = budget
-        self.found = found
-        self.level = level
-        self.ssum = ssum
-        self.chain = chain
-        self.hit = hit
-        self.h00_found = h00_found
-        self.h00 = h00
-
-
-def _round_pow2(n: int) -> int:
-    b = 64
-    while b < n:
-        b *= 2
-    return b
-
-
-def _round16(n: int) -> int:
-    return max(16, ((n + 15) // 16) * 16)
+        self.found = bool(ex[X_FOUND])
+        self.level = int(ex[X_II])
+        self.ssum = int(ex[X_SSUM])
+        self.chain = int(ex[X_CHAIN])
+        self.hit = (int(ex[X_CHRP]), int(ex[X_WLOC]))
+        self.h00_found = bool(ex[X_H00F])
+        self.h00 = (int(ex[X_H00C]), int(ex[X_H00W]))

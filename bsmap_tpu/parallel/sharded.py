@@ -19,9 +19,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..engine.device_engine import (Cfg, DeviceEngine, MAXSEG,
-                                    _align_fused_kernel, _totals_kernel,
-                                    _round_pow2)
+from ..engine.device_engine import (Cfg, DeviceEngine, N_EXTRAS, X_FOUND,
+                                    _align_fused_kernel)
 from ..index import SeedIndex
 from ..params import Param
 from ..reference import PackedGenome
@@ -32,50 +31,40 @@ from ..reference import PackedGenome
 def _sharded_fused(cfg: Cfg, cands_loc: int, mesh: Mesh, axis: str,
                    prof_a, d_kmer_tab, rc_code, rc_n_code, d_catcat,
                    d_anchors, d_sizes, d_rcoff, d_locs,
-                   codes, regs, lens, buds, rsets, ridx):
+                   codes, regs, lens, buds, rand32):
     """shard_map over the read axis: every device aligns its stripe against
     the replicated index; one psum merges the aligned-read counters."""
 
     def step(prof_a, d_kmer_tab, rc_code, rc_n_code, d_catcat, d_anchors,
-             d_sizes, d_rcoff, d_locs, codes, regs, lens, buds, rsets,
-             ridx):
+             d_sizes, d_rcoff, d_locs, codes, regs, lens, buds, rand32):
         out = _align_fused_kernel(
             cfg, cands_loc, prof_a, d_kmer_tab, rc_code, rc_n_code,
             d_catcat, d_anchors, d_sizes, d_rcoff, d_locs,
-            codes, regs, lens, buds, rsets, ridx)
-        # cross-device aggregate: total aligned reads this chunk (the
+            codes, regs, lens, buds, rand32)
+        # cross-device aggregate: total found reads this chunk (the
         # collective the phase-B sharded-index merge will generalize)
-        n_aligned = jax.lax.psum(out[:, 2 * MAXSEG].sum(), axis)
+        n_aligned = jax.lax.psum(
+            out[:, 2 * cfg.maxseg + X_FOUND].sum(), axis)
         return out, n_aligned[None]
 
     rep = P()
     shd = P(axis)
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(rep,) * 9 + (shd,) * 6,
+                   in_specs=(rep,) * 9 + (shd,) * 5,
                    out_specs=(shd, P(axis)))
     return fn(prof_a, d_kmer_tab, rc_code, rc_n_code, d_catcat, d_anchors,
-              d_sizes, d_rcoff, d_locs, codes, regs, lens, buds, rsets,
-              ridx)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
-def _sharded_totals(cfg: Cfg, mesh: Mesh, axis: str, prof_a, d_kmer_tab,
-                    rc_code, rc_n_code, codes, regs, lens, buds, rsets):
-    def step(prof_a, d_kmer_tab, rc_code, rc_n_code, codes, regs, lens,
-             buds, rsets):
-        return _totals_kernel(cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
-                              codes, regs, lens, buds, rsets)
-
-    rep = P()
-    shd = P(axis)
-    fn = shard_map(step, mesh=mesh, in_specs=(rep,) * 4 + (shd,) * 5,
-                   out_specs=shd)
-    return fn(prof_a, d_kmer_tab, rc_code, rc_n_code, codes, regs, lens,
-              buds, rsets)
+              d_sizes, d_rcoff, d_locs, codes, regs, lens, buds, rand32)
 
 
 class ShardedDeviceEngine(DeviceEngine):
-    """DeviceEngine scaled over a mesh: stripes of reads per device."""
+    """DeviceEngine scaled over a mesh: stripes of reads per device.
+
+    The base class's optimistic-chunk orchestration is reused; only the
+    dispatch differs: a chunk of ``ndev * B_loc`` reads is laid out
+    device-major and aligned under ``shard_map``, with per-device candidate
+    capacity (overflow detection in the base class is per read, so chunk
+    accounting works unchanged as long as capacity is counted per stripe —
+    handled by ``_chunk_ok_mask``)."""
 
     def __init__(self, genome: PackedGenome, index: SeedIndex, param: Param,
                  mesh: Mesh | None = None, b_loc: int | None = None,
@@ -85,38 +74,38 @@ class ShardedDeviceEngine(DeviceEngine):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = self.mesh.axis_names[0]
         self.ndev = self.mesh.devices.size
-        self.B_loc = b_loc if b_loc is not None else self.B
-        self.C_loc = cands_loc if cands_loc is not None else self.CANDS
+        from ..engine import device_engine as de
+        self.B_loc = b_loc if b_loc is not None else de.DEV_BATCH
+        self.C_loc = (cands_loc if cands_loc is not None
+                      else de.CANDS_PER_READ * self.B_loc)
+        # global chunk shape seen by the base-class orchestration
+        self.B = self.ndev * self.B_loc
+        self.CANDS = self.C_loc          # capacity is PER STRIPE
         rep = NamedSharding(self.mesh, P())
         # replicate the genome + index over every device in the mesh
         for name in ("d_catcat", "d_anchors", "d_sizes", "d_rcoff",
-                     "d_locs", "d_kmer_tab", "d_offsets", "d_wcounts",
-                     "prof_a", "rc_code", "rc_n_code"):
+                     "d_locs", "d_kmer_tab", "prof_a", "rc_code",
+                     "rc_n_code"):
             setattr(self, name, jax.device_put(getattr(self, name), rep))
         self._shd = NamedSharding(self.mesh, P(self.axis))
         self.last_n_aligned = 0
 
-    def _stripe_shape(self, n: int):
-        per_dev = max(1, -(-n // self.ndev))
-        b = self.B_loc if per_dev > 2048 else min(self.B_loc,
-                                                  _round_pow2(per_dev))
-        return self.ndev, b, self.C_loc
-
-    def _place(self, padded):
-        return [jax.device_put(a, self._shd) for a in padded]
-
-    def _run_totals(self, cfg, padded):
-        c_, r_, l_, b_, s_ = self._place(padded)
-        return _sharded_totals(cfg, self.mesh, self.axis, self.prof_a,
-                               self.d_kmer_tab, self.rc_code, self.rc_n_code,
-                               c_, r_, l_, b_, s_)
-
-    def _run_fused(self, cfg, padded):
-        c_, r_, l_, b_, s_, x_ = self._place(padded)
+    def _dispatch(self, cfg, arrs5):
+        placed = [jax.device_put(a, self._shd) for a in arrs5]
+        c_, r_, l_, b_, rnd = placed
         out, n_aligned = _sharded_fused(
             cfg, self.C_loc, self.mesh, self.axis, self.prof_a,
             self.d_kmer_tab, self.rc_code, self.rc_n_code, self.d_catcat,
             self.d_anchors, self.d_sizes, self.d_rcoff, self.d_locs,
-            c_, r_, l_, b_, s_, x_)
+            c_, r_, l_, b_, rnd)
         self.last_n_aligned = n_aligned
         return out
+
+    def _chunk_cum(self, tot: np.ndarray) -> np.ndarray:
+        """Per-stripe running candidate totals (capacity resets per device
+        stripe of B_loc reads)."""
+        cum = np.zeros(len(tot) + 1, dtype=np.int64)
+        for s in range(0, len(tot), self.B_loc):
+            e = min(s + self.B_loc, len(tot))
+            cum[s + 1: e + 1] = np.cumsum(tot[s:e])
+        return cum

@@ -1,0 +1,79 @@
+"""Golden parity of the DEVICE and SHARDED engines vs the reference binary.
+
+Round-1 verdict: every golden test ran --engine host only, which let a real
+device-engine parity bug on mixed-length reads survive.  This suite runs the
+SE matrix through the vectorized engines, including the stale-seed-schedule
+corner (reads with (len - interval + 1) % seed_size == 0 interleaved with
+other lengths reuse the reference SingleAlign's per-instance buffers,
+align.cpp:454-469)."""
+
+import pytest
+
+from .conftest import simulate
+from .test_golden_se import assert_same, run_ours, run_ref
+
+
+@pytest.fixture(scope="module")
+def eng_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("eng")
+    simulate(d, genome_out="ref.fa", reads_out="reads.fq", n_reads=800,
+             read_len=50, chr_len=40000, seed=21, error_rate=0.02)
+    simulate(d, genome_out="ref3.fa", reads_out="reads100.fq", n_reads=600,
+             read_len=100, chr_len=15000, n_chr=3, seed=22, error_rate=0.02)
+    # mixed-length reads: interleave 51nt (the (len-I+1) % S == 0 stale
+    # corner for -s 16 -I 4) with 50nt — the round-1 device parity bug repro
+    simulate(d, genome_out="refm.fa", reads_out="readsm_raw.fq", n_reads=600,
+             read_len=51, chr_len=30000, seed=23, error_rate=0.02)
+    raw = (d / "readsm_raw.fq").read_text().splitlines()
+    out = []
+    for k in range(0, len(raw), 4):
+        name, seq, plus, qual = raw[k: k + 4]
+        if (k // 4) % 2 == 0:
+            seq, qual = seq[:50], qual[:50]
+        out += [name, seq, plus, qual]
+    (d / "readsm.fq").write_text("\n".join(out) + "\n")
+    return d
+
+
+@pytest.mark.parametrize("engine", ["device", "sharded"])
+@pytest.mark.parametrize("cfg", [
+    ["-S", "1", "-v", "2", "-u"],
+    ["-S", "1", "-v", "3", "-r", "0", "-u"],
+])
+def test_engines_sam_parity(reference_binary, eng_data, cfg, engine):
+    base = ["-a", "reads.fq", "-d", "ref.fa"]
+    run_ref(reference_binary, eng_data, base + ["-o", "ref.sam"] + cfg)
+    run_ours(eng_data, base + ["-o", f"our_{engine}.sam"] + cfg,
+             engine=engine)
+    assert_same(eng_data, "ref.sam", f"our_{engine}.sam")
+
+
+@pytest.mark.parametrize("cfg", [
+    ["-S", "1", "-v", "2", "-u", "-R"],
+    ["-S", "1", "-v", "2", "-s", "12"],
+    ["-S", "1", "-v", "2", "-I", "2"],
+    ["-S", "1", "-v", "2", "-n", "1"],
+])
+def test_device_sam_matrix(reference_binary, eng_data, cfg):
+    base = ["-a", "reads100.fq", "-d", "ref3.fa"]
+    run_ref(reference_binary, eng_data, base + ["-o", "refm.sam"] + cfg)
+    run_ours(eng_data, base + ["-o", "ourm.sam"] + cfg, engine="device")
+    assert_same(eng_data, "refm.sam", "ourm.sam")
+
+
+def test_device_bsp_parity(reference_binary, eng_data):
+    base = ["-a", "reads100.fq", "-d", "ref3.fa", "-S", "1", "-v", "2", "-u"]
+    run_ref(reference_binary, eng_data, base + ["-o", "ref.bsp"])
+    run_ours(eng_data, base + ["-o", "our.bsp"], engine="device")
+    assert_same(eng_data, "ref.bsp", "our.bsp")
+
+
+@pytest.mark.parametrize("engine", ["device", "sharded"])
+def test_mixed_length_stale_state(reference_binary, eng_data, engine):
+    """The round-1 bug: interleaved 50/51nt reads diverge on the device
+    engine because the 51nt reads' seed schedule reads per-instance state
+    left by earlier reads (MateState).  Must be byte-identical now."""
+    base = ["-a", "readsm.fq", "-d", "refm.fa", "-S", "1", "-v", "2", "-u"]
+    run_ref(reference_binary, eng_data, base + ["-o", "refmix.sam"])
+    run_ours(eng_data, base + ["-o", f"ourmix_{engine}.sam"], engine=engine)
+    assert_same(eng_data, "refmix.sam", f"ourmix_{engine}.sam")
