@@ -58,30 +58,37 @@ def main() -> None:
         save_index(key, index)
     o = Options()
     o.param = p
+    o.query_a = rpath
+    o.out_file = os.path.join(BENCH_DIR, "out.sam")
     engine = make_engine(o, genome, index)
     fmt = SamFormatter(genome, p, RandR(1))
 
-    # warmup: compile on a first batch (persistent XLA cache makes repeat
-    # runs start hot)
-    s = open_read_stream(rpath, p, readset=0)
-    warm = s.next_batch(4096)
-    engine.format_batch(warm, fmt)
-    s.close()
+    # warmup: compile on a first block (persistent XLA cache makes repeat
+    # runs start hot); uses the same lean program as the timed region
+    use_blocks0 = getattr(engine, "supports_blocks", lambda: False)()
+    if use_blocks0:
+        from bsmap_tpu import native
+        from bsmap_tpu.blockio import BlockReadStream
+        bs = BlockReadStream(rpath, p, readset=0, lib=native.get_lib())
+        engine.format_block(bs.next_block(4096), fmt)
+        bs.close()
+    else:
+        s = open_read_stream(rpath, p, readset=0)
+        engine.format_batch(s.next_batch(4096), fmt)
+        s.close()
+    fmt.n_aligned = 0
     setup_s = time.time() - t0
 
-    out_path = os.path.join(BENCH_DIR, "out.sam")
+    from bsmap_tpu.cli import run_single_end_blocks, run_single_end_reads
+    from bsmap_tpu.utils import StepTimer
+    from bsmap_tpu.readio import detect_format
+    use_blocks = (getattr(engine, "supports_blocks", lambda: False)()
+                  and detect_format(rpath) < 2)
     t1 = time.time()
-    n = 0
-    with open(out_path, "w") as fout:
-        fout.write(sam_header(genome))
-        s = open_read_stream(rpath, p, readset=0)
-        while True:
-            batch = s.next_batch(BATCH_NUM)
-            if not batch:
-                break
-            fout.write(engine.format_batch(batch, fmt))
-            n += len(batch)
-        s.close()
+    if use_blocks:
+        n = run_single_end_blocks(o, engine, fmt, genome, StepTimer())
+    else:
+        n = run_single_end_reads(o, engine, fmt, genome, StepTimer())
     dt = time.time() - t1
     value = n / dt
     print(json.dumps({

@@ -233,10 +233,27 @@ def run_single_end(o: Options, genome, index) -> int:
     p = o.param
     engine = make_engine(o, genome, index)
     fmt = SamFormatter(genome, p, RandR(os.getpid() * int(__import__('time').time()) & 0xFFFFFFFF))
-    stream = open_read_stream(o.query_a, p, readset=0)
     timer = StepTimer()
-    sam_out = o.out_file if p.out_sam != 2 else o.out_file  # .bam: convert after
-    with open(sam_out, "w") as fout:
+    from .readio import detect_format
+    if (getattr(engine, "supports_blocks", lambda: False)()
+            and detect_format(o.query_a) < 2):
+        total = run_single_end_blocks(o, engine, fmt, genome, timer)
+    else:
+        total = run_single_end_reads(o, engine, fmt, genome, timer)
+    denom = max(total, 1)
+    print(f"Total number of aligned reads: {fmt.n_aligned} "
+          f"({100.0 * fmt.n_aligned / denom:.2g}%)")
+    if p.out_sam == 2:
+        from .output.bam import sam_to_bam
+        sam_to_bam(o.out_file)
+    return 0
+
+
+def run_single_end_reads(o: Options, engine, fmt, genome, timer) -> int:
+    """Per-read path: exact for every configuration (BSP, -R, RRBS, trim)."""
+    p = o.param
+    stream = open_read_stream(o.query_a, p, readset=0)
+    with open(o.out_file, "w") as fout:
         if p.out_sam:
             fout.write(sam_header(genome))
         total = 0
@@ -251,13 +268,64 @@ def run_single_end(o: Options, genome, index) -> int:
             total += len(batch)
             print(f"{total} reads finished. {timer.total():.1f} secs passed")
     stream.close()
-    denom = max(total, 1)
-    print(f"Total number of aligned reads: {fmt.n_aligned} "
-          f"({100.0 * fmt.n_aligned / denom:.2g}%)")
-    if p.out_sam == 2:
-        from .output.bam import sam_to_bam
-        sam_to_bam(o.out_file)
-    return 0
+    return total
+
+
+def run_single_end_blocks(o: Options, engine, fmt, genome, timer) -> int:
+    """Native block pipeline: chunked parse -> device align -> native SAM
+    format, with parse-ahead and write-behind threads (C18 thread runtime;
+    the native calls release the GIL)."""
+    import queue
+    import threading
+
+    from . import native
+    from .blockio import BlockReadStream
+
+    p = o.param
+    lib = native.get_lib()
+    stream = BlockReadStream(o.query_a, p, readset=0, lib=lib)
+    # 4 dispatch windows per block: _align_arrays enqueues every window
+    # before collecting, keeping the device pipeline 4 deep
+    blk_n = 4 * getattr(engine, "B", BATCH_NUM)
+    q_in: "queue.Queue" = queue.Queue(maxsize=4)
+    q_out: "queue.Queue" = queue.Queue(maxsize=8)
+
+    def producer():
+        while True:
+            blk = stream.next_block(blk_n)
+            q_in.put(blk)
+            if blk is None:
+                break
+
+    def writer():
+        with open(o.out_file, "wb") as fout:
+            if p.out_sam:
+                fout.write(sam_header(genome).encode("latin1"))
+            while True:
+                data = q_out.get()
+                if data is None:
+                    break
+                fout.write(data)
+
+    t_prod = threading.Thread(target=producer, daemon=True)
+    t_wr = threading.Thread(target=writer, daemon=True)
+    t_prod.start()
+    t_wr.start()
+    total = 0
+    try:
+        while True:
+            blk = q_in.get()
+            if blk is None:
+                break
+            q_out.put(engine.format_block(blk, fmt))
+            total += len(blk)
+            print(f"{total} reads finished. {timer.total():.1f} secs passed")
+    finally:
+        q_out.put(None)
+        t_wr.join()
+        t_prod.join()
+        stream.close()
+    return total
 
 
 def main() -> None:

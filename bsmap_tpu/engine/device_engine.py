@@ -98,6 +98,7 @@ class Cfg(NamedTuple):
     report_repeat_hits: int
     W: int                 # words per catcat half
     n_chr: int
+    lean: bool = False     # 2-int32 packed rows (SAM fast path) vs full rows
 
     @property
     def nch(self) -> int:
@@ -193,9 +194,11 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
 
     def chain_schedule(ccodes):
         sarr = _seed_array(ccodes, S, P)            # (B, P) int32
-        # per-position bucket rows: the only random-access gather of stage 1
+        # per-position bucket rows: the only random-access gather of stage 1.
+        # row = [watson_off, total_count, watson_count, crick_off]
         rows = _rowg(d_kmer_tab, sarr)              # (B, P, 4) int32
-        o0, cnt, wc = rows[..., 0], rows[..., 1], rows[..., 2]
+        o0, cnt, wc, o3 = (rows[..., 0], rows[..., 1], rows[..., 2],
+                           rows[..., 3])
         # reference cost includes the +2 CSR header slots (dbseq.cpp:381).
         # Sums are WRAPPING uint32 like the reference's bit32_t totals
         # (align.cpp:455,507).
@@ -247,7 +250,7 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
         cost_s = cost_n ^ jnp.uint32(0x80000000)    # order uint as int32
         key_hi = jnp.where(seg_mask, cost_s, BIGU)
         order = jnp.argsort(key_hi, axis=1, stable=True).astype(jnp.int32)
-        return start_arr, order, o0, cnt, wc, s_off
+        return start_arr, order, o0, cnt, wc, o3, s_off
 
     scheds = [chain_schedule(c) for c, _ in chains]
 
@@ -257,7 +260,7 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
     slot_cs = jnp.tile(jnp.repeat(jnp.arange(nch, dtype=jnp.int32), I), MS)
     slot_phase = jnp.tile(jnp.arange(I, dtype=jnp.int32), nch * MS)
 
-    def slot_desc(start_arr, order, o0_p, cnt_p, wc_p):
+    def slot_desc(start_arr, order, o0_p, cnt_p, wc_p, o3_p):
         mode = _taa(order, jnp.broadcast_to(slot_rank[None, :], (B, NB)))
         a = _g1(prof_a, mode * I + slot_phase[None, :])
         st = _taa(start_arr, mode)
@@ -269,27 +272,29 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
         # (discarded for those reads) stays in-bounds
         fresh = (k >= 0) & (k <= (lens - S)[:, None])
         return (_taa(o0_p, k_c), jnp.where(fresh, _taa(cnt_p, k_c), 0),
-                _taa(wc_p, k_c), h)
+                _taa(wc_p, k_c), _taa(o3_p, k_c), h)
 
-    descs = [slot_desc(st, o, o0p, cp, wp) for st, o, o0p, cp, wp, _ in scheds]
+    descs = [slot_desc(st, o, o0p, cp, wp, o3p)
+             for st, o, o0p, cp, wp, o3p, _ in scheds]
     if nch == 2:
         is_c = (slot_cs[None, :] == 1)
         off0 = jnp.where(is_c, descs[1][0], descs[0][0])
         cnt = jnp.where(is_c, descs[1][1], descs[0][1])
         wcnt = jnp.where(is_c, descs[1][2], descs[0][2])
-        h = jnp.where(is_c, descs[1][3], descs[0][3])
+        off3 = jnp.where(is_c, descs[1][3], descs[0][3])
+        h = jnp.where(is_c, descs[1][4], descs[0][4])
     else:
-        off0, cnt, wcnt, h = descs[0]
+        off0, cnt, wcnt, off3, h = descs[0]
 
     valid = slot_rank[None, :] < seedseg[:, None]
     cnt = jnp.where(valid, cnt, 0)
     # MateState carry: per-chain chosen global start offsets (s_off / c_off)
-    s_off_out = scheds[0][5]
-    c_off_out = scheds[-1][5] if cfg.chains_mode != "f" else \
+    s_off_out = scheds[0][6]
+    c_off_out = scheds[-1][6] if cfg.chains_mode != "f" else \
         jnp.zeros((B,), jnp.int32)
     if cfg.chains_mode == "r":
         s_off_out = jnp.zeros((B,), jnp.int32)
-    return qw, rw, h, off0, wcnt, cnt, s_off_out, c_off_out
+    return qw, rw, h, off0, off3, wcnt, cnt, s_off_out, c_off_out
 
 
 # ---------------------------------------------------------------------------
@@ -297,8 +302,8 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
 # ---------------------------------------------------------------------------
 
 def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
-                 d_rcoff, d_locs, qw, rw, lens, budgets, rand32,
-                 h, off0, wcnt, cnt, s_off, c_off):
+                 d_rcoff, d_wlocs, d_clocs, qw, rw, lens, budgets, rand32,
+                 h, off0, off3, wcnt, cnt, s_off, c_off):
     B = qw.shape[0]
     W, NB, nch, I, MS = cfg.W, cfg.NB, cfg.nch, cfg.I, cfg.maxseg
     sidx = jnp.arange(CANDS, dtype=jnp.int32)
@@ -330,19 +335,27 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     e = sidx - _g1(starts, fid)
 
     g_off0 = _g1(off0, fid)
+    g_off3 = _g1(off3, fid)
     g_wc = _g1(wcnt, fid)
     g_h = _g1(h, fid)
 
-    entry = _g1(d_locs, jnp.clip(g_off0 + e, 0, d_locs.shape[0] - 1))
+    # entry coordinates are PER-STRAND uint32 (genomes up to ~4.2 Gb per
+    # strand; hg38 4-strand works in 32 bits because Watson and Crick have
+    # separate locs arrays and separate catcat halves)
     crick = e >= g_wc
-    g = entry + g_h                                     # (CANDS,) int32
+    w_entry = _g1(d_wlocs, jnp.clip(g_off0 + e, 0, d_wlocs.shape[0] - 1))
+    c_entry = _g1(d_clocs, jnp.clip(g_off3 + (e - g_wc), 0,
+                                    d_clocs.shape[0] - 1))
+    entry = jnp.where(crick, c_entry, w_entry)          # uint32
+    g = entry + g_h.astype(jnp.uint32)                  # (CANDS,) uint32
 
     # --- gather + phase-align the reference windows (11 x 1-D gathers) ------
-    wbase = (g >> 4) + jnp.where(crick, jnp.int32(W), 0)
+    wbase = ((g >> 4).astype(jnp.int32)
+             + jnp.where(crick, jnp.int32(W), 0))
     wbase = jnp.clip(wbase, 0, 2 * W - FIXELEMENT - 1)
     words = jnp.stack([_g1(d_catcat, wbase + k)
                        for k in range(FIXELEMENT + 1)], axis=1)
-    z = (g & 15).astype(jnp.uint32)
+    z = g & 15
     sl = (z * 2)[:, None]
     w_lo = words[:, :FIXELEMENT] << sl
     w_hi = words[:, 1:] >> (jnp.uint32(32) - sl)
@@ -358,12 +371,15 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     wmm = jax.lax.population_count(lanes).sum(axis=-1).astype(jnp.int32)
 
     # --- coordinate transform + bounds (align.cpp:271-291) ------------------
+    # d_anchors is uint32 (global per-strand coords); chr-local values fit
+    # int32 (chromosome sizes < 2^31)
     c = jnp.clip(jnp.searchsorted(d_anchors, g, side="right") - 1,
                  0, cfg.n_chr - 1).astype(jnp.int32)
     llen = _g1(lens, rid)
-    loc_local = g - _g1(d_anchors, c)
+    loc_local = (g - _g1(d_anchors, c)).astype(jnp.int32)
     wloc = jnp.where(crick, _g1(d_rcoff, c) - llen - loc_local, loc_local)
-    in_bounds = (wloc >= 0) & (wloc + llen <= _g1(d_sizes, c))
+    in_bounds = (wloc >= 0) & (loc_local >= 0) & \
+        (wloc + llen <= _g1(d_sizes, c))
 
     eligible = live & in_bounds & (wmm <= _g1(budgets, rid))
 
@@ -440,32 +456,56 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     rend = jnp.concatenate([rstart[1:], total_all[None]])
     totals = rend - rstart
 
+    if cfg.lean:
+        # SAM fast path: everything the formatter needs in 8 bytes/read
+        # (the tunnel's device->host path is the throughput wall; see
+        # BIT_* layout below).  ok/overflow bits are computed on device so
+        # the host never needs the totals.
+        w1 = (found.astype(jnp.int32)
+              | (sel_chain << 1)
+              | (replay.astype(jnp.int32) << 2)
+              | ((rend <= CANDS).astype(jnp.int32) << 3)
+              | ((totals > CANDS).astype(jnp.int32) << 4)
+              | ((ssum != 1).astype(jnp.int32) << 5)
+              | (ii << 6)
+              | (sel_chrp << 10))
+        return jnp.stack([sel_wloc, w1], axis=1)
+
     # one packed int32 output array -> a single device-to-host transfer
     extras = jnp.stack(
         [found.astype(jnp.int32), ii, ssum, sel_chain, sel_chrp, sel_wloc,
          h00_found.astype(jnp.int32), h00_chrp, h00_wloc,
-         replay.astype(jnp.int32), totals, s_off, c_off], axis=1)
+         replay.astype(jnp.int32), totals, s_off, c_off,
+         (rend <= CANDS).astype(jnp.int32),
+         (totals > CANDS).astype(jnp.int32)], axis=1)
     return jnp.concatenate([counts.reshape(B, 2 * MS), extras], axis=1)
 
 
-N_EXTRAS = 13
+N_EXTRAS = 15
 (X_FOUND, X_II, X_SSUM, X_CHAIN, X_CHRP, X_WLOC, X_H00F, X_H00C, X_H00W,
- X_REPLAY, X_TOTAL, X_SOFF, X_COFF) = range(N_EXTRAS)
+ X_REPLAY, X_TOTAL, X_SOFF, X_COFF, X_OK, X_BIG) = range(N_EXTRAS)
+
+# lean row bit layout (word 1; word 0 = watson loc), shared with the native
+# formatter (bsmap_native.cpp)
+BIT_FOUND, BIT_CHAIN, BIT_REPLAY, BIT_OK, BIT_BIG, BIT_MULTI = (
+    1, 2, 4, 8, 16, 32)
+LEAN_II_SHIFT, LEAN_CHRP_SHIFT = 6, 10
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "CANDS"))
 def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, rc_code,
                         rc_n_code, d_catcat, d_anchors, d_sizes, d_rcoff,
-                        d_locs, codes, regs, lens, budgets, rand32):
+                        d_wlocs, d_clocs, codes, regs, lens, budgets, rand32):
     """Single-dispatch chunk: schedule + verify fused.  Candidate capacity is
     fixed; reads whose candidates ran past it are detected from the returned
-    totals and re-dispatched (or host-replayed when one read exceeds it)."""
-    (qw, rw, h, off0, wcnt, cnt, s_off, c_off) = _schedule_impl(
+    ok/overflow bits and re-dispatched (or host-replayed when one read
+    exceeds it)."""
+    (qw, rw, h, off0, off3, wcnt, cnt, s_off, c_off) = _schedule_impl(
         cfg, prof_a, d_kmer_tab, rc_code, rc_n_code, codes, regs, lens,
         budgets)
     return _verify_impl(cfg, CANDS, d_catcat, d_anchors, d_sizes, d_rcoff,
-                        d_locs, qw, rw, lens, budgets, rand32, h, off0,
-                        wcnt, cnt, s_off, c_off)
+                        d_wlocs, d_clocs, qw, rw, lens, budgets, rand32, h,
+                        off0, off3, wcnt, cnt, s_off, c_off)
 
 
 # ---------------------------------------------------------------------------
@@ -488,29 +528,50 @@ class DeviceEngine:
         self.host = HostEngine(genome, index, param)  # exact replay path
 
         W = len(genome.refcat)
-        if int(genome.anchors[-1]) >= 2 ** 31 or genome.n_chr >= 1 << 15:
-            raise EngineUnsupported("genome too large for single-device "
-                                    "int32 coordinates; shard across devices")
+        # Per-strand uint32 coordinates: each strand's catcat and locs array
+        # is separate, so genomes up to ~4.2 Gb (hg38 4-strand included) fit
+        # 32-bit math on a single device.  Larger genomes need the region-
+        # sharded mesh path.
+        if int(genome.anchors[-1]) >= 2 ** 32 - (FIXSIZE + SEGLEN) \
+                or genome.n_chr >= 1 << 15:
+            raise EngineUnsupported("genome exceeds 32-bit per-strand "
+                                    "coordinates; shard across devices")
         self.W = W
         dev = jax.devices()[0]
         put = functools.partial(jax.device_put, device=dev)
         self.d_catcat = put(jnp.asarray(
             np.concatenate([genome.refcat, genome.crefcat]),
             dtype=jnp.uint32))
-        self.d_anchors = put(jnp.asarray(genome.anchors[:genome.n_chr],
-                                         dtype=jnp.int32))
+        self.d_anchors = put(jnp.asarray(
+            genome.anchors[:genome.n_chr].astype(np.uint32)))
         self.d_sizes = put(jnp.asarray(genome.sizes, dtype=jnp.int32))
         self.d_rcoff = put(jnp.asarray(genome.rc_offsets, dtype=jnp.int32))
-        # combined (offset, count, wcount, 0) rows: one 16B gather per seed
-        # position in the scheduler instead of three scattered ones
+        # per-bucket row [watson_off, total_count, watson_count, crick_off]:
+        # one 16B gather per seed position in the scheduler; Watson and
+        # Crick entries live in separate arrays so each stays < 2^31 long
         tk = index.total_kmers
+        counts = np.diff(index.offsets)
+        wc = index.wcounts.astype(np.int64)
+        cc = counts - wc
         kmer_tab = np.zeros((tk, 4), dtype=np.int32)
-        kmer_tab[:, 0] = index.offsets[:-1]
-        kmer_tab[:, 1] = np.diff(index.offsets)
-        kmer_tab[:, 2] = index.wcounts
+        kmer_tab[:, 1] = counts
+        kmer_tab[:, 2] = wc
+        np.cumsum(wc[:-1], out=kmer_tab[1:, 0])
+        np.cumsum(cc[:-1], out=kmer_tab[1:, 3])
         self.d_kmer_tab = put(jnp.asarray(kmer_tab))
-        self.d_locs = put(jnp.asarray(
-            index.locs.astype(np.int64), dtype=jnp.int32))
+        # split locs by strand, preserving in-bucket order (interval-mask
+        # via a +1/-1 diff array: bounded running sum, no Python loop)
+        total = len(index.locs)
+        diff = np.zeros(total + 1, dtype=np.int8)
+        nz = wc > 0
+        np.add.at(diff, index.offsets[:-1][nz], 1)
+        np.add.at(diff, (index.offsets[:-1] + wc)[nz], -1)
+        is_w = np.cumsum(diff[:total], dtype=np.int8) > 0
+        wl = index.locs[is_w]
+        cl = index.locs[~is_w]
+        one = np.zeros(1, dtype=np.uint32)      # keep gathers well-defined
+        self.d_wlocs = put(jnp.asarray(wl if len(wl) else one))  # uint32
+        self.d_clocs = put(jnp.asarray(cl if len(cl) else one))
         I = param.index_interval
         self.prof_a = put(jnp.asarray(
             [[param.profile[n][i].a for i in range(I)]
@@ -529,8 +590,13 @@ class DeviceEngine:
         self._maxseg = min(MAXSNPS, param.max_snp_num) + 1
         self._amax_cache: dict[int, int] = {}
         self._cmax_cache: dict[int, int] = {}
+        # chromosome-name table for the native SAM block formatter
+        name_bytes = [n.encode("latin1") for n in genome.names]
+        self._chrname_buf = np.frombuffer(b"".join(name_bytes), dtype=np.uint8)
+        self._chrname_off = np.zeros(len(name_bytes) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in name_bytes], out=self._chrname_off[1:])
 
-    def _cfg(self, chains_mode: str) -> Cfg:
+    def _cfg(self, chains_mode: str, lean: bool = False) -> Cfg:
         p = self.param
         S, I = p.seed_size, p.index_interval
         MS = self._maxseg
@@ -538,7 +604,7 @@ class DeviceEngine:
         return Cfg(S=S, I=I, maxseg=MS, chains_mode=chains_mode, P=P,
                    max_num_hits=p.max_num_hits,
                    report_repeat_hits=p.report_repeat_hits,
-                   W=self.W, n_chr=self.genome.n_chr)
+                   W=self.W, n_chr=self.genome.n_chr, lean=lean)
 
     def _chains_mode(self, rsets: np.ndarray) -> str:
         if self.param.chains:
@@ -581,7 +647,7 @@ class DeviceEngine:
         reach = np.maximum(probe_max, cost_max)
         return (max_off == 0) | (reach > lens - S)
 
-    def _sync_state_span(self, batch, live_idx, lo: int, hi: int,
+    def _sync_state_span(self, read_of, lo: int, hi: int,
                          dev_soff, dev_coff, lens, replay_flag, mode: str):
         """Apply the MateState effects of device-handled reads [lo, hi) (batch
         order) before a host replay that may read stale state.  Seed buffers:
@@ -599,18 +665,26 @@ class DeviceEngine:
         span_lens = lens[lo:hi]
         mo = (span_lens - I + 1) % S
         nz = np.nonzero(mo > 0)[0]
+        offset_read = None
         if len(nz):
             k = lo + int(nz[-1])
             if not replay_flag[k]:
-                if mode in ("f", "b"):
-                    st.seed_start_offset = int(dev_soff[k])
-                if mode in ("r", "b"):
-                    st.cseed_start_offset = int(dev_coff[k])
+                if dev_soff is None:
+                    # lean rows don't carry the chosen offsets; recompute
+                    # them with the exact host schedule after the buffer
+                    # fill below (no-risk reads read only fresh entries, so
+                    # the recompute is deterministic)
+                    offset_read = k
+                else:
+                    if mode in ("f", "b"):
+                        st.seed_start_offset = int(dev_soff[k])
+                    if mode in ("r", "b"):
+                        st.cseed_start_offset = int(dev_coff[k])
         # seed buffers: walk backward, filling uncovered entries
         from ..encoding import seed_values
         need = np.ones(MateState.SEEDBUF, dtype=bool)
         for k in range(hi - 1, lo - 1, -1):
-            rd = batch[live_idx[k]]
+            rd = read_of(k)
             L = len(rd.seq)
             if L < S:
                 continue
@@ -627,6 +701,10 @@ class DeviceEngine:
                 need[:n_ent] = False
             if not need[:max(0, int(lens[lo:hi].max()) - S + 1)].any():
                 break
+        if offset_read is not None:
+            rd = read_of(offset_read)
+            self.host.sync_schedule(rd, int(
+                (p.max_snp_num + 1) * (len(rd.seq) - 1) // len(rd.seq)))
 
     # -- batch orchestration -------------------------------------------------
 
@@ -696,14 +774,7 @@ class DeviceEngine:
         return _align_fused_kernel(
             cfg, self.CANDS, self.prof_a, self.d_kmer_tab, self.rc_code,
             self.rc_n_code, self.d_catcat, self.d_anchors, self.d_sizes,
-            self.d_rcoff, self.d_locs, c_, r_, l_, b_, rnd)
-
-    def _chunk_cum(self, tot: np.ndarray) -> np.ndarray:
-        """Running candidate totals within one dispatched chunk (the sharded
-        engine overrides this: capacity resets at each device stripe)."""
-        cum = np.zeros(len(tot) + 1, dtype=np.int64)
-        np.cumsum(tot, out=cum[1:])
-        return cum
+            self.d_rcoff, self.d_wlocs, self.d_clocs, c_, r_, l_, b_, rnd)
 
     def _pad_window(self, arrs, sel):
         """Gather rows `sel` of each array, zero-padded up to self.B rows."""
@@ -725,13 +796,33 @@ class DeviceEngine:
             batch, live_idx, budgets)
         rand32 = myrand_hash(ridx, self.param.randseed)
         cfg = self._cfg(self._chains_mode(rsets))
+        out_rows, replays = self._align_arrays(
+            cfg, codes, regs, lens, buds, rand32,
+            lambda t: batch[live_idx[t]])
+        for t, res in replays.items():
+            results[live_idx[t]] = res
+        MS = cfg.maxseg
+        for t in range(n):
+            if t not in replays:
+                results[live_idx[t]] = DeviceView(out_rows[t], MS,
+                                                  int(buds[t]))
+        return results
 
+    def _align_arrays(self, cfg: Cfg, codes, regs, lens, buds, rand32,
+                      read_of):
+        """Core orchestration over pre-encoded live reads: windowed
+        optimistic dispatches, overflow retry, exact host replay with
+        MateState maintenance.  ``read_of(t)`` lazily materializes live row
+        t as a Read (only replays and state syncs need it).  Returns
+        (out_rows, {row: SEResult for replayed rows})."""
+        n = len(lens)
         risk = self._stale_risk(lens, buds)
         arrs = (codes, regs, lens, buds, rand32)
 
         # results come back as packed int32 rows, one per live read
         MS = cfg.maxseg
-        out_rows = np.zeros((n, 2 * MS + N_EXTRAS), dtype=np.int32)
+        width = 2 if cfg.lean else 2 * MS + N_EXTRAS
+        out_rows = np.zeros((n, width), dtype=np.int32)
         done = np.zeros(n, dtype=bool)
 
         todo = np.arange(n, dtype=np.int64)
@@ -749,55 +840,62 @@ class DeviceEngine:
             next_todo = []
             for sel, out in pend:
                 rows = np.asarray(out)[: len(sel)]
-                tot = rows[:, 2 * MS + X_TOTAL].astype(np.int64)
-                cum = self._chunk_cum(tot)
                 # a read's result is exact iff its whole candidate range fit
-                ok = cum[1:] <= self.CANDS
+                # in the dispatch capacity (ok bit, computed on device); a
+                # read that alone exceeds capacity (big bit) is host-replayed
+                if cfg.lean:
+                    ok = (rows[:, 1] & BIT_OK) != 0
+                    big = (rows[:, 1] & BIT_BIG) != 0
+                else:
+                    ok = rows[:, 2 * MS + X_OK] != 0
+                    big = rows[:, 2 * MS + X_BIG] != 0
                 out_rows[sel[ok]] = rows[ok]
                 done[sel[ok]] = True
                 bad = sel[~ok]
                 if len(bad):
-                    first_bad = int(np.argmax(~ok))
-                    if tot[first_bad] > self.CANDS:
-                        # this read alone exceeds capacity: exact host replay
-                        k = sel[first_bad]
+                    bigbad = sel[~ok & big]
+                    for k in bigbad:
                         out_rows[k] = 0
-                        out_rows[k, 2 * MS + X_REPLAY] = 1
+                        if cfg.lean:
+                            out_rows[k, 1] = BIT_REPLAY
+                        else:
+                            out_rows[k, 2 * MS + X_REPLAY] = 1
                         done[k] = True
-                        bad = bad[bad != k]
-                    next_todo.append(bad)
+                    rest = bad[~np.isin(bad, bigbad)]
+                    if len(rest):
+                        next_todo.append(rest)
             # each round completes at least the overflow window's head, so
             # this terminates; re-window the spilled tail and go again
             todo = (np.concatenate(next_todo)
                     if next_todo else np.zeros(0, dtype=np.int64))
 
         # --- in-order collection with exact MateState maintenance -----------
-        replay_flag = (out_rows[:, 2 * MS + X_REPLAY] != 0) | risk
-        dev_soff = out_rows[:, 2 * MS + X_SOFF]
-        dev_coff = out_rows[:, 2 * MS + X_COFF]
+        if cfg.lean:
+            replay_flag = ((out_rows[:, 1] & BIT_REPLAY) != 0) | risk
+            dev_soff = dev_coff = None
+        else:
+            replay_flag = (out_rows[:, 2 * MS + X_REPLAY] != 0) | risk
+            dev_soff = out_rows[:, 2 * MS + X_SOFF]
+            dev_coff = out_rows[:, 2 * MS + X_COFF]
         replay_pos = np.nonzero(replay_flag)[0]
+        replays: dict[int, SEResult] = {}
         cursor = 0
         for rpos in replay_pos:
             rpos = int(rpos)
             if risk[rpos]:
                 # replay may READ stale state: sync it first
-                self._sync_state_span(batch, live_idx, cursor, rpos,
-                                      dev_soff, dev_coff, lens, replay_flag,
+                self._sync_state_span(read_of, cursor, rpos, dev_soff,
+                                      dev_coff, lens, replay_flag,
                                       cfg.chains_mode)
                 cursor = rpos + 1   # run_align updates the state itself
-            i = live_idx[rpos]
-            results[i] = self.host.run_align(batch[i], int(buds[rpos]))
+            replays[rpos] = self.host.run_align(read_of(rpos),
+                                                int(buds[rpos]))
             self.n_replayed += 1
         # keep the state current through the batch tail: a LATER batch may
         # contain stale-schedule reads whose replay reads this state
-        self._sync_state_span(batch, live_idx, cursor, n, dev_soff,
-                              dev_coff, lens, replay_flag, cfg.chains_mode)
-
-        for t in np.nonzero(~replay_flag)[0]:
-            t = int(t)
-            results[live_idx[t]] = DeviceView(out_rows[t], MS,
-                                              int(buds[t]))
-        return results
+        self._sync_state_span(read_of, cursor, n, dev_soff, dev_coff, lens,
+                              replay_flag, cfg.chains_mode)
+        return out_rows, replays
 
     def format_batch(self, batch: list[Read], fmt) -> str:
         results = self.align_batch(batch)
@@ -808,6 +906,98 @@ class DeviceEngine:
             else:
                 out.append(fmt.string_align(rd, res))
         return "".join(out)
+
+    # -- block fast path (no per-read Python objects) -------------------------
+
+    def supports_blocks(self) -> bool:
+        """SAM output without trimming/XR/RRBS runs entirely on the native
+        block path; everything else uses the per-read path."""
+        from .. import native
+        p = self.param
+        return (native.get_lib() is not None and p.out_sam == 1
+                and not p.out_ref and not p.RRBS_flag
+                and not p.adapters and p.qual_threshold == 0)
+
+    def align_block(self, block):
+        """Align one ReadBlock.  Returns (live_pos, lean_rows, replays):
+        row t of lean_rows is block read live_pos[t] in the packed 2-int32
+        layout (BIT_*); replays maps row -> exact SEResult.  Blocks with no
+        stale-schedule risk run the lean kernel (8 bytes/read back over the
+        link); risky blocks run the full kernel and get repacked."""
+        from .. import native
+        p = self.param
+        lib = native.get_lib()
+        codes, regs, lens, ncnt = native.encode_block(
+            lib, block.buf, block.rec, p.alphabet, REG_ALPHABET, FIXSIZE)
+        live = (lens >= p.min_read_size) & (ncnt <= p.max_ns)
+        live_pos = np.nonzero(live)[0]
+        self.n_filtered += len(block) - len(live_pos)
+        n = len(live_pos)
+        if n == 0:
+            return live_pos, np.zeros((0, 2), np.int32), {}
+        codes, regs, lens_l = codes[live_pos], regs[live_pos], lens[live_pos]
+        buds = ((p.max_snp_num + 1) * (lens_l - 1) // lens_l).astype(np.int32)
+        lean = not self._stale_risk(lens_l, buds).any()
+        cfg = self._cfg("b" if p.chains
+                        else ("r" if block.readset == 2 else "f"), lean=lean)
+        rand32 = myrand_hash(block.indices[live_pos], p.randseed)
+        out_rows, replays = self._align_arrays(
+            cfg, codes, regs, lens_l, buds, rand32,
+            lambda t: block.read_obj(int(live_pos[t])))
+        if not lean:
+            out_rows = _pack_rows_lean(out_rows, cfg.maxseg)
+        return live_pos, out_rows, replays
+
+    def format_block(self, block, fmt) -> bytes:
+        """Align + format one ReadBlock as SAM bytes via the native
+        formatter; replayed reads are formatted exactly in Python and
+        spliced back in order.  SAM-only: the BSP stale-hits[0][0] leak
+        (output/sam.py) never affects SAM lines, so device rows are
+        order-free here."""
+        from .. import native
+        p = self.param
+        lib = native.get_lib()
+        live_pos, out_rows, replays = self.align_block(block)
+        n_all = len(block)
+        status = np.ones(n_all, dtype=np.int32)          # 1 = QC-filtered
+        rows_all = np.zeros((n_all, 2), dtype=np.int32)
+        status[live_pos] = 2
+        rows_all[live_pos] = out_rows
+        replay_pos = sorted(int(live_pos[t]) for t in replays)
+        rmap = {int(live_pos[t]): t for t in replays}
+        status[replay_pos] = 0                           # Python-formatted
+        out, line_off, na = native.format_sam_block(
+            lib, block.buf, block.rec, status, rows_all,
+            self._chrname_buf, self._chrname_off, REV_CHAR,
+            0x40 * block.readset, bool(p.out_unmap), p.report_repeat_hits,
+            block.synth_qual)
+        fmt.n_aligned += na
+        if not replay_pos:
+            return out
+        pieces, prev = [], 0
+        for i in replay_pos:
+            cut = int(line_off[i])
+            pieces.append(out[prev:cut])
+            res = replays[rmap[i]]
+            pieces.append(fmt.string_align(block.read_obj(i), res)
+                          .encode("latin1"))
+            prev = cut
+        pieces.append(out[prev:])
+        return b"".join(pieces)
+
+
+def _pack_rows_lean(rows: np.ndarray, maxseg: int) -> np.ndarray:
+    """Repack full kernel rows into the lean 2-int32 layout (BIT_*) for the
+    native SAM formatter."""
+    ex = 2 * maxseg
+    w1 = ((rows[:, ex + X_FOUND] != 0).astype(np.int32) * BIT_FOUND
+          | (rows[:, ex + X_CHAIN] << 1)
+          | (rows[:, ex + X_REPLAY] != 0).astype(np.int32) * BIT_REPLAY
+          | BIT_OK
+          | (rows[:, ex + X_SSUM] != 1).astype(np.int32) * BIT_MULTI
+          | (rows[:, ex + X_II] << LEAN_II_SHIFT)
+          | (rows[:, ex + X_CHRP] << LEAN_CHRP_SHIFT))
+    return np.stack([rows[:, ex + X_WLOC], w1], axis=1).astype(np.int32)
 
 
 class DeviceView:

@@ -249,6 +249,21 @@ class HostEngine:
         """Align an already-filtered read with the given mismatch budget."""
         return self._run_align(read, budget, state or self.mate_state)
 
+    def sync_schedule(self, read: Read, budget: int) -> None:
+        """Apply only the MateState side effects of aligning ``read``:
+        seed-buffer prefix write (_convert) and the ReorderSeed start-offset
+        update — used by the device engine to keep the stale-state emulation
+        exact when its lean output rows don't carry the chosen offsets."""
+        p = self.param
+        L = len(read.seq)
+        seedseg_num = p.seedseg_num(L, budget)
+        codes, reg, ccodes, creg, sa, csa = self._convert(read,
+                                                          self.mate_state)
+        flag_chain = bool(p.chains or read.readset < 2)
+        cflag_chain = bool(p.chains or read.readset == 2)
+        self._reorder(sa, csa, seedseg_num, L, flag_chain, cflag_chain,
+                      self.mate_state)
+
     def _run_align(self, read: Read, budget: int,
                    state: MateState) -> SEResult:
         """RunAlign (align.cpp:435-452)."""

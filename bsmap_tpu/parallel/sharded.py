@@ -30,30 +30,33 @@ from ..reference import PackedGenome
                    static_argnames=("cfg", "cands_loc", "mesh", "axis"))
 def _sharded_fused(cfg: Cfg, cands_loc: int, mesh: Mesh, axis: str,
                    prof_a, d_kmer_tab, rc_code, rc_n_code, d_catcat,
-                   d_anchors, d_sizes, d_rcoff, d_locs,
+                   d_anchors, d_sizes, d_rcoff, d_wlocs, d_clocs,
                    codes, regs, lens, buds, rand32):
     """shard_map over the read axis: every device aligns its stripe against
     the replicated index; one psum merges the aligned-read counters."""
 
     def step(prof_a, d_kmer_tab, rc_code, rc_n_code, d_catcat, d_anchors,
-             d_sizes, d_rcoff, d_locs, codes, regs, lens, buds, rand32):
+             d_sizes, d_rcoff, d_wlocs, d_clocs, codes, regs, lens, buds,
+             rand32):
         out = _align_fused_kernel(
             cfg, cands_loc, prof_a, d_kmer_tab, rc_code, rc_n_code,
-            d_catcat, d_anchors, d_sizes, d_rcoff, d_locs,
+            d_catcat, d_anchors, d_sizes, d_rcoff, d_wlocs, d_clocs,
             codes, regs, lens, buds, rand32)
         # cross-device aggregate: total found reads this chunk (the
         # collective the phase-B sharded-index merge will generalize)
-        n_aligned = jax.lax.psum(
-            out[:, 2 * cfg.maxseg + X_FOUND].sum(), axis)
+        found = (out[:, 1] & 1) if cfg.lean \
+            else out[:, 2 * cfg.maxseg + X_FOUND]
+        n_aligned = jax.lax.psum(found.sum(), axis)
         return out, n_aligned[None]
 
     rep = P()
     shd = P(axis)
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(rep,) * 9 + (shd,) * 5,
+                   in_specs=(rep,) * 10 + (shd,) * 5,
                    out_specs=(shd, P(axis)))
     return fn(prof_a, d_kmer_tab, rc_code, rc_n_code, d_catcat, d_anchors,
-              d_sizes, d_rcoff, d_locs, codes, regs, lens, buds, rand32)
+              d_sizes, d_rcoff, d_wlocs, d_clocs, codes, regs, lens, buds,
+              rand32)
 
 
 class ShardedDeviceEngine(DeviceEngine):
@@ -61,10 +64,10 @@ class ShardedDeviceEngine(DeviceEngine):
 
     The base class's optimistic-chunk orchestration is reused; only the
     dispatch differs: a chunk of ``ndev * B_loc`` reads is laid out
-    device-major and aligned under ``shard_map``, with per-device candidate
-    capacity (overflow detection in the base class is per read, so chunk
-    accounting works unchanged as long as capacity is counted per stripe —
-    handled by ``_chunk_ok_mask``)."""
+    device-major and aligned under ``shard_map``.  Candidate capacity is
+    PER STRIPE: the ok/overflow bits are computed inside the shard_map
+    against the per-device capacity, so the base class's per-read overflow
+    retry works unchanged."""
 
     def __init__(self, genome: PackedGenome, index: SeedIndex, param: Param,
                  mesh: Mesh | None = None, b_loc: int | None = None,
@@ -84,7 +87,7 @@ class ShardedDeviceEngine(DeviceEngine):
         rep = NamedSharding(self.mesh, P())
         # replicate the genome + index over every device in the mesh
         for name in ("d_catcat", "d_anchors", "d_sizes", "d_rcoff",
-                     "d_locs", "d_kmer_tab", "prof_a", "rc_code",
+                     "d_wlocs", "d_clocs", "d_kmer_tab", "prof_a", "rc_code",
                      "rc_n_code"):
             setattr(self, name, jax.device_put(getattr(self, name), rep))
         self._shd = NamedSharding(self.mesh, P(self.axis))
@@ -96,16 +99,8 @@ class ShardedDeviceEngine(DeviceEngine):
         out, n_aligned = _sharded_fused(
             cfg, self.C_loc, self.mesh, self.axis, self.prof_a,
             self.d_kmer_tab, self.rc_code, self.rc_n_code, self.d_catcat,
-            self.d_anchors, self.d_sizes, self.d_rcoff, self.d_locs,
-            c_, r_, l_, b_, rnd)
+            self.d_anchors, self.d_sizes, self.d_rcoff, self.d_wlocs,
+            self.d_clocs, c_, r_, l_, b_, rnd)
         self.last_n_aligned = n_aligned
         return out
 
-    def _chunk_cum(self, tot: np.ndarray) -> np.ndarray:
-        """Per-stripe running candidate totals (capacity resets per device
-        stripe of B_loc reads)."""
-        cum = np.zeros(len(tot) + 1, dtype=np.int64)
-        for s in range(0, len(tot), self.B_loc):
-            e = min(s + self.B_loc, len(tot))
-            cum[s + 1: e + 1] = np.cumsum(tot[s:e])
-        return cum

@@ -56,9 +56,9 @@ def main():
                    else o.sum() for o in outs[2:])
 
     def upto_wmm(prof_a, d_kmer_tab, rc_code, rc_n_code, d_catcat, d_anchors,
-                 d_sizes, d_rcoff, d_locs, codes, regs, lens, budgets,
-                 rand32):
-        (qw, rw, h, off0, wcnt, cnt, s_off, c_off) = de._schedule_impl(
+                 d_sizes, d_rcoff, d_wlocs, d_clocs, codes, regs, lens,
+                 budgets, rand32):
+        (qw, rw, h, off0, off3, wcnt, cnt, s_off, c_off) = de._schedule_impl(
             cfg, prof_a, d_kmer_tab, rc_code, rc_n_code, codes, regs, lens,
             budgets)
         B = qw.shape[0]
@@ -79,10 +79,16 @@ def main():
         g_off0 = de._g1(off0, fid)
         g_wc = de._g1(wcnt, fid)
         g_h = de._g1(h, fid)
-        entry = de._g1(d_locs, jnp.clip(g_off0 + e, 0, d_locs.shape[0] - 1))
         crick = e >= g_wc
-        g = entry + g_h
-        wbase = (g >> 4) + jnp.where(crick, jnp.int32(W), 0)
+        g_off3 = de._g1(off3, fid)
+        w_entry = de._g1(d_wlocs, jnp.clip(g_off0 + e, 0,
+                                           d_wlocs.shape[0] - 1))
+        c_entry = de._g1(d_clocs, jnp.clip(g_off3 + (e - g_wc), 0,
+                                           d_clocs.shape[0] - 1))
+        entry = jnp.where(crick, c_entry, w_entry)
+        g = entry + g_h.astype(jnp.uint32)
+        wbase = (g >> 4).astype(jnp.int32) + jnp.where(crick,
+                                                       jnp.int32(W), 0)
         wbase = jnp.clip(wbase, 0, 2 * W - de.FIXELEMENT - 1)
         words = jnp.stack([de._g1(d_catcat, wbase + k)
                            for k in range(de.FIXELEMENT + 1)], axis=1)
@@ -104,7 +110,7 @@ def main():
              c_, r_, l_, b_)
     args2 = (eng.prof_a, eng.d_kmer_tab, eng.rc_code, eng.rc_n_code,
              eng.d_catcat, eng.d_anchors, eng.d_sizes, eng.d_rcoff,
-             eng.d_locs, c_, r_, l_, b_, rnd)
+             eng.d_wlocs, eng.d_clocs, c_, r_, l_, b_, rnd)
 
     for name, fn, args in [("stage1", jax.jit(stage1_only), args1),
                            ("upto_wmm", jax.jit(upto_wmm), args2)]:
