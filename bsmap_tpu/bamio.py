@@ -62,20 +62,96 @@ class BgzfWriter:
         self._fh.close()
 
 
+class BgzfReader:
+    """Streaming BGZF (or plain-gzip) reader: one block in memory at a time
+    (the reference's libbam streams the same way, samtools/bgzf.c).  Tracks
+    BGZF virtual offsets (coffset << 16 | uoffset) for BAI building."""
+
+    def __init__(self, path: str):
+        self._fh = open(path, "rb")
+        self._block = b""
+        self._pos = 0               # position within the current block
+        self._cstart = 0            # compressed offset of the current block
+        self._plain = None          # decompressobj fallback for plain gzip
+
+    def _next_block(self) -> bool:
+        if self._plain is not None:
+            return self._next_plain()
+        self._cstart = self._fh.tell()
+        head = self._fh.read(12)
+        if len(head) < 12:
+            return False
+        if head[:2] != b"\x1f\x8b":
+            raise ValueError("not a gzip stream")
+        xlen = struct.unpack_from("<H", head, 10)[0] if head[3] & 4 else 0
+        bsize = None
+        if xlen:
+            extra = self._fh.read(xlen)
+            xoff = 0
+            while xoff + 4 <= xlen:
+                si1, si2 = extra[xoff], extra[xoff + 1]
+                slen = struct.unpack_from("<H", extra, xoff + 2)[0]
+                if si1 == 66 and si2 == 67:
+                    bsize = struct.unpack_from("<H", extra, xoff + 4)[0] + 1
+                xoff += 4 + slen
+        if bsize is None:
+            # plain gzip member: fall back to whole-stream decompression
+            self._fh.seek(self._cstart)
+            self._plain = zlib.decompressobj(31)
+            return self._next_plain()
+        cdata = self._fh.read(bsize - 12 - xlen)
+        self._block = zlib.decompress(cdata[:-8], -15)
+        self._pos = 0
+        return len(self._block) > 0 or self._next_block()
+
+    def _next_plain(self) -> bool:
+        while True:
+            raw = self._fh.read(1 << 20)
+            if not raw:
+                return False
+            out = self._plain.decompress(raw)
+            while self._plain.unused_data:
+                tail = self._plain.unused_data
+                self._plain = zlib.decompressobj(31)
+                out += self._plain.decompress(tail)
+            if out:
+                self._block = out
+                self._pos = 0
+                return True
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0:
+            if self._pos >= len(self._block):
+                if not self._next_block():
+                    break
+            take = min(n, len(self._block) - self._pos)
+            out += self._block[self._pos: self._pos + take]
+            self._pos += take
+            n -= take
+        return bytes(out)
+
+    def tell_virtual(self) -> int:
+        if self._pos >= len(self._block):
+            # between blocks: the next block's start
+            return self._fh.tell() << 16
+        return (self._cstart << 16) | self._pos
+
+    def close(self) -> None:
+        self._fh.close()
+
+
 def bgzf_read_all(path: str) -> bytes:
-    """Decompress a whole BGZF (or plain gzip) file."""
+    """Decompress a whole BGZF (or plain gzip) file (small files only; use
+    BgzfReader for streaming)."""
+    r = BgzfReader(path)
     out = []
-    with open(path, "rb") as fh:
-        data = fh.read()
-    pos = 0
-    d = zlib.decompressobj(31)
-    while pos < len(data):
-        chunk = d.decompress(data[pos:])
-        out.append(chunk)
-        pos = len(data) - len(d.unused_data)
-        if not d.unused_data:
+    while True:
+        chunk = r.read(1 << 22)
+        if not chunk:
             break
-        d = zlib.decompressobj(31)
+        out.append(chunk)
+    r.close()
     return b"".join(out)
 
 
@@ -174,34 +250,69 @@ def _sam_line_to_record(cols: list[str], ref_ids: dict[str, int]) -> bytes:
                          qual if qual != "*" else "*", aux)
 
 
+SORT_MEM_RECORDS = 400_000   # per in-memory run (~100-200 MB of records)
+
+
 def sam_to_bam(sam_path: str, bam_path: str | None = None,
-               make_index: bool = True) -> str:
-    """The sam2bam.sh pipeline: SAM text -> coordinate-sorted BAM (+ .bai).
-    The input file keeps its name (the reference names the SAM output
-    <stem>.bam already: main.cpp:466-473), so we convert in place."""
+               make_index: bool = True,
+               mem_records: int = SORT_MEM_RECORDS) -> str:
+    """The sam2bam.sh pipeline: SAM text -> coordinate-sorted BAM (+ .bai),
+    as a constant-memory EXTERNAL MERGE SORT (the reference's samtools
+    bam_sort.c does the same: sorted runs spilled to temp files, k-way
+    merge).  The input file keeps its name (the reference names the SAM
+    output <stem>.bam already: main.cpp:466-473), so we convert in place."""
+    import heapq
+    import pickle
+
     if bam_path is None:
         bam_path = sam_path
+    header_lines: list[str] = []
+    ref_names: list[str] = []
+    ref_lens: list[int] = []
+    ref_ids: dict[str, int] = {}
+    runs: list[str] = []
+    buf: list[tuple[int, int, int, bytes]] = []
+    serial = 0
+
+    def spill() -> None:
+        buf.sort()
+        path = f"{bam_path}.sort{len(runs)}.tmp"
+        with open(path, "wb") as f:
+            pickle.dump(len(buf), f)
+            for item in buf:
+                pickle.dump(item, f)
+        runs.append(path)
+        buf.clear()
+
     with open(sam_path) as fh:
-        header_lines = []
-        records = []
-        ref_names = []
-        ref_lens = []
         for line in fh:
             line = line.rstrip("\n")
             if line.startswith("@"):
                 header_lines.append(line)
                 if line.startswith("@SQ"):
                     d = dict(f.split(":", 1) for f in line.split("\t")[1:])
+                    ref_ids[d["SN"]] = len(ref_names)
                     ref_names.append(d["SN"])
                     ref_lens.append(int(d["LN"]))
-            elif line:
-                records.append(line.split("\t"))
-    ref_ids = {n: i for i, n in enumerate(ref_names)}
-    # samtools sort: by (refid, pos); unmapped (refid -1) last
-    def key(cols):
-        rid = ref_ids.get(cols[2], -1)
-        return (rid if rid >= 0 else 1 << 30, int(cols[3]) - 1)
-    records.sort(key=key)
+                continue
+            if not line:
+                continue
+            cols = line.split("\t")
+            rid = ref_ids.get(cols[2], -1)
+            # samtools sort order: (refid, pos), unmapped (refid -1) last,
+            # input order preserved among equals (stable)
+            key_rid = rid if rid >= 0 else 1 << 30
+            buf.append((key_rid, int(cols[3]) - 1, serial,
+                        _sam_line_to_record(cols, ref_ids)))
+            serial += 1
+            if len(buf) >= mem_records:
+                spill()
+
+    def run_iter(path):
+        with open(path, "rb") as f:
+            n = pickle.load(f)
+            for _ in range(n):
+                yield pickle.load(f)
 
     tmp = bam_path + ".tmp"
     w = BgzfWriter(tmp)
@@ -212,9 +323,18 @@ def sam_to_bam(sam_path: str, bam_path: str | None = None,
         nb = n.encode() + b"\x00"
         head += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
     w.write(head)
-    for cols in records:
-        w.write(_sam_line_to_record(cols, ref_ids))
+    if runs:
+        if buf:
+            spill()
+        for item in heapq.merge(*(run_iter(r) for r in runs)):
+            w.write(item[3])
+    else:
+        buf.sort()
+        for item in buf:
+            w.write(item[3])
     w.close()
+    for r in runs:
+        os.remove(r)
     os.replace(tmp, bam_path)
     if make_index:
         try:
@@ -229,35 +349,43 @@ def sam_to_bam(sam_path: str, bam_path: str | None = None,
 # ---------------------------------------------------------------------------
 
 class BamFile:
+    """Streaming BAM reader: constant memory, one BGZF block at a time."""
+
     def __init__(self, path: str):
-        data = bgzf_read_all(path)
-        if data[:4] != BAM_MAGIC:
+        self._r = BgzfReader(path)
+        if self._r.read(4) != BAM_MAGIC:
             raise ValueError("not a BAM file")
-        l_text = struct.unpack_from("<i", data, 4)[0]
-        off = 8 + l_text
-        self.header_text = data[8: 8 + l_text].decode("latin1")
-        n_ref = struct.unpack_from("<i", data, off)[0]
-        off += 4
+        l_text = struct.unpack("<i", self._r.read(4))[0]
+        self.header_text = self._r.read(l_text).decode("latin1")
+        n_ref = struct.unpack("<i", self._r.read(4))[0]
         self.ref_names = []
         self.ref_lens = []
         for _ in range(n_ref):
-            ln = struct.unpack_from("<i", data, off)[0]
-            off += 4
-            self.ref_names.append(data[off: off + ln - 1].decode())
-            off += ln
-            self.ref_lens.append(struct.unpack_from("<i", data, off)[0])
-            off += 4
-        self._data = data
-        self._off = off
+            ln = struct.unpack("<i", self._r.read(4))[0]
+            self.ref_names.append(self._r.read(ln)[:-1].decode())
+            self.ref_lens.append(struct.unpack("<i", self._r.read(4))[0])
 
     def records(self):
-        data, off = self._data, self._off
-        n = len(data)
-        while off + 4 <= n:
-            bs = struct.unpack_from("<i", data, off)[0]
-            off += 4
-            yield data[off: off + bs]
-            off += bs
+        while True:
+            raw = self._r.read(4)
+            if len(raw) < 4:
+                break
+            bs = struct.unpack("<i", raw)[0]
+            yield self._r.read(bs)
+
+    def records_with_voffsets(self):
+        """(start_virtual, end_virtual, record_body) triples for BAI."""
+        while True:
+            start = self._r.tell_virtual()
+            raw = self._r.read(4)
+            if len(raw) < 4:
+                break
+            bs = struct.unpack("<i", raw)[0]
+            body = self._r.read(bs)
+            yield start, self._r.tell_virtual(), body
+
+    def close(self) -> None:
+        self._r.close()
 
 
 def decode_record(body: bytes):
@@ -344,53 +472,45 @@ def bam_sam_lines(path: str):
 
 
 def build_bai(bam_path: str) -> str:
-    """Write a BAI index (SAM spec section 5.2) for a coordinate-sorted BAM.
-    Virtual offsets require re-walking the BGZF blocks; since this writer
-    emits fixed 60000-byte logical blocks, offsets are reconstructed from
-    the compressed stream."""
-    # map logical offset -> virtual offset by scanning BGZF headers
-    blocks = []   # (logical_start, compressed_start)
-    with open(bam_path, "rb") as fh:
-        raw = fh.read()
-    pos = 0
-    logical = 0
-    while pos < len(raw) - len(BGZF_EOF):
-        xlen = struct.unpack_from("<H", raw, pos + 10)[0]
-        bsize = None
-        xoff = pos + 12
-        xend = xoff + xlen
-        while xoff < xend:
-            si1, si2, slen = raw[xoff], raw[xoff + 1], struct.unpack_from(
-                "<H", raw, xoff + 2)[0]
-            if si1 == 66 and si2 == 67:
-                bsize = struct.unpack_from("<H", raw, xoff + 4)[0] + 1
-            xoff += 4 + slen
-        isize = struct.unpack_from("<I", raw, pos + bsize - 4)[0]
-        blocks.append((logical, pos))
-        logical += isize
-        pos += bsize
-
-    def voffset(logical_off: int) -> int:
-        import bisect
-        i = bisect.bisect_right([b[0] for b in blocks], logical_off) - 1
-        lstart, cstart = blocks[i]
-        return (cstart << 16) | (logical_off - lstart)
-
+    """Write a BAI index (SAM spec section 5.2) for a coordinate-sorted BAM,
+    streaming: one reference's bins/intervals in memory at a time (the input
+    is coordinate-sorted, so refids arrive in order)."""
     bf = BamFile(bam_path)
     n_ref = len(bf.ref_names)
-    bins: list[dict] = [dict() for _ in range(n_ref)]
-    intervals: list[list] = [[] for _ in range(n_ref)]
-    off = bf._off
-    data = bf._data
-    while off + 4 <= len(data):
-        start_v = voffset(off)
-        bs = struct.unpack_from("<i", data, off)[0]
-        body = data[off + 4: off + 4 + bs]
-        off += 4 + bs
-        end_v = voffset(off)
+    out = bytearray(b"BAI\x01")
+    out += struct.pack("<i", n_ref)
+    cur_ref = -1
+    bins: dict = {}
+    intervals: list = []
+
+    def emit_ref() -> None:
+        out.extend(struct.pack("<i", len(bins)))
+        for b, chunks in sorted(bins.items()):
+            merged: list = []
+            for c in chunks:
+                if merged and merged[-1][1] == c[0]:
+                    merged[-1] = (merged[-1][0], c[1])
+                else:
+                    merged.append(c)
+            out.extend(struct.pack("<Ii", b, len(merged)))
+            for s, e in merged:
+                out.extend(struct.pack("<QQ", s, e))
+        for w in range(1, len(intervals)):
+            if intervals[w] == 0:
+                intervals[w] = intervals[w - 1]
+        out.extend(struct.pack("<i", len(intervals)))
+        for v in intervals:
+            out.extend(struct.pack("<Q", v))
+
+    for start_v, end_v, body in bf.records_with_voffsets():
         refid, pos2 = struct.unpack_from("<ii", body, 0)
         if refid < 0 or pos2 < 0:
             continue
+        while cur_ref < refid:
+            if cur_ref >= 0:
+                emit_ref()
+            cur_ref += 1
+            bins, intervals = {}, []
         n_cig = struct.unpack_from("<H", body, 12)[0]
         l_name = body[8]
         cig_off = 32 + l_name
@@ -400,36 +520,18 @@ def build_bai(bam_path: str) -> str:
             if CIGAR_OPS[v & 0xF] in "MDN=X":
                 span += v >> 4
         end = pos2 + max(span, 1)
-        b = reg2bin(pos2, end)
-        bins[refid].setdefault(b, []).append((start_v, end_v))
-        iv = intervals[refid]
+        bins.setdefault(reg2bin(pos2, end), []).append((start_v, end_v))
         for w in range(pos2 >> 14, (end - 1 >> 14) + 1):
-            while len(iv) <= w:
-                iv.append(0)
-            if iv[w] == 0 or start_v < iv[w]:
-                iv[w] = start_v
-
-    out = bytearray(b"BAI\x01")
-    out += struct.pack("<i", n_ref)
-    for r in range(n_ref):
-        out += struct.pack("<i", len(bins[r]))
-        for b, chunks in sorted(bins[r].items()):
-            merged = []
-            for c in chunks:
-                if merged and merged[-1][1] == c[0]:
-                    merged[-1] = (merged[-1][0], c[1])
-                else:
-                    merged.append(c)
-            out += struct.pack("<Ii", b, len(merged))
-            for s, e in merged:
-                out += struct.pack("<QQ", s, e)
-        iv = intervals[r]
-        for w in range(1, len(iv)):
-            if iv[w] == 0:
-                iv[w] = iv[w - 1]
-        out += struct.pack("<i", len(iv))
-        for v in iv:
-            out += struct.pack("<Q", v)
+            while len(intervals) <= w:
+                intervals.append(0)
+            if intervals[w] == 0 or start_v < intervals[w]:
+                intervals[w] = start_v
+    while cur_ref < n_ref:
+        if cur_ref >= 0:
+            emit_ref()
+        cur_ref += 1
+        bins, intervals = {}, []
+    bf.close()
     with open(bam_path + ".bai", "wb") as fh:
         fh.write(bytes(out))
     return bam_path + ".bai"

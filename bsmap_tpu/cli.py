@@ -46,6 +46,10 @@ USAGE = """Usage: bsmap_tpu [options]
        --engine {auto,host,device,sharded}   alignment engine (default auto:
                    sharded over all devices when >1, else single-device)
        --index-cache <dir>           persist/reuse the seed index
+       --nprocs <int>       multi-host: total processes (data-parallel over
+                            contiguous read ranges; byte-exact merge)
+       --proc-id <int>      multi-host: this process id (0-based)
+       --coordinator <a:p>  multi-host: jax.distributed coordinator address
        -h          help
 """
 
@@ -60,6 +64,9 @@ class Options:
         self.out_unpair = ""
         self.engine = "auto"
         self.index_cache = os.environ.get("BSMAP_TPU_INDEX_CACHE", "")
+        self.nprocs = 1
+        self.proc_id = 0
+        self.coordinator = ""
 
 
 def parse_args(argv: list[str]) -> Options:
@@ -87,6 +94,21 @@ def parse_args(argv: list[str]) -> Options:
             o.index_cache = argv[i]
         elif a.startswith("--index-cache="):
             o.index_cache = a.split("=", 1)[1]
+        elif a == "--nprocs":
+            i += 1
+            o.nprocs = int(argv[i])
+        elif a.startswith("--nprocs="):
+            o.nprocs = int(a.split("=", 1)[1])
+        elif a == "--proc-id":
+            i += 1
+            o.proc_id = int(argv[i])
+        elif a.startswith("--proc-id="):
+            o.proc_id = int(a.split("=", 1)[1])
+        elif a == "--coordinator":
+            i += 1
+            o.coordinator = argv[i]
+        elif a.startswith("--coordinator="):
+            o.coordinator = a.split("=", 1)[1]
         elif a.startswith("-") and len(a) >= 2:
             c = a[1]
             if c == "a":
@@ -220,13 +242,56 @@ def run(argv: list[str]) -> int:
     index = get_index(o, genome)
     print(f"Create seed table. {timer.total():.1f} secs passed")
 
-    if o.query_a and o.query_b:
+    if o.nprocs > 1:
+        n = run_multihost_se(o, genome, index)
+    elif o.query_a and o.query_b:
         from .engine.pair_pipeline import run_pair_end
         n = run_pair_end(o, genome, index)
     else:
         n = run_single_end(o, genome, index)
     print(f"Total time consumed:  {timer.total():.1f} secs")
     return 0
+
+
+def run_multihost_se(o: Options, genome, index) -> int:
+    """Multi-host SE: contiguous read-range shard per process, exact
+    MateState reconstruction at the range boundary, ordered shard merge on
+    process 0 (parallel/distributed.py)."""
+    from .parallel import distributed as dist
+
+    p = o.param
+    dist.initialize(o.coordinator, o.nprocs, o.proc_id)
+    total = dist.count_reads(o.query_a, p)
+    s, e = dist.plan_range(total, o.nprocs, o.proc_id,
+                           p.read_start, p.read_end)
+    final_out = o.out_file
+    engine = make_engine(o, genome, index)
+    if s > 1:
+        dist.reconstruct_state(engine, o.query_a, p, s)
+    p.read_start, p.read_end = s, e
+    o.out_file = final_out + f".shard{o.proc_id}"
+    fmt = SamFormatter(genome, p, RandR(1))
+    timer = StepTimer()
+    from .readio import detect_format
+    if (getattr(engine, "supports_blocks", lambda: False)()
+            and detect_format(o.query_a) < 2):
+        total_n = run_single_end_blocks(o, engine, fmt, genome, timer,
+                                        header=False)
+    else:
+        total_n = run_single_end_reads(o, engine, fmt, genome, timer,
+                                       header=False)
+    open(o.out_file + ".done", "w").close()
+    print(f"shard {o.proc_id}: {total_n} reads, "
+          f"{fmt.n_aligned} aligned")
+    if o.proc_id == 0:
+        dist.merge_shards(final_out, o.nprocs,
+                          sam_header(genome) if p.out_sam else "")
+        print(f"merged {o.nprocs} shards -> {final_out}")
+    o.out_file = final_out
+    if p.out_sam == 2 and o.proc_id == 0:
+        from .output.bam import sam_to_bam
+        sam_to_bam(o.out_file)
+    return total_n
 
 
 def run_single_end(o: Options, genome, index) -> int:
@@ -249,12 +314,13 @@ def run_single_end(o: Options, genome, index) -> int:
     return 0
 
 
-def run_single_end_reads(o: Options, engine, fmt, genome, timer) -> int:
+def run_single_end_reads(o: Options, engine, fmt, genome, timer,
+                         header: bool = True) -> int:
     """Per-read path: exact for every configuration (BSP, -R, RRBS, trim)."""
     p = o.param
     stream = open_read_stream(o.query_a, p, readset=0)
     with open(o.out_file, "w") as fout:
-        if p.out_sam:
+        if p.out_sam and header:
             fout.write(sam_header(genome))
         total = 0
         while True:
@@ -271,7 +337,8 @@ def run_single_end_reads(o: Options, engine, fmt, genome, timer) -> int:
     return total
 
 
-def run_single_end_blocks(o: Options, engine, fmt, genome, timer) -> int:
+def run_single_end_blocks(o: Options, engine, fmt, genome, timer,
+                          header: bool = True) -> int:
     """Native block pipeline: chunked parse -> device align -> native SAM
     format, with parse-ahead and write-behind threads (C18 thread runtime;
     the native calls release the GIL)."""
@@ -299,7 +366,7 @@ def run_single_end_blocks(o: Options, engine, fmt, genome, timer) -> int:
 
     def writer():
         with open(o.out_file, "wb") as fout:
-            if p.out_sam:
+            if p.out_sam and header:
                 fout.write(sam_header(genome).encode("latin1"))
             while True:
                 data = q_out.get()

@@ -99,6 +99,10 @@ class Cfg(NamedTuple):
     W: int                 # words per catcat half
     n_chr: int
     lean: bool = False     # 2-int32 packed rows (SAM fast path) vs full rows
+    pe: bool = False       # pair-end enumeration: no progressive early exit
+                           # (PairAlign runs every segment, pairs.cpp:163),
+                           # no -r 0 abort (align.cpp:210 pairend guard)
+    hits_k: int = 0        # also emit up to K compacted hits per read
 
     @property
     def nch(self) -> int:
@@ -397,15 +401,20 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     acc_pre = eligible & first & (kc >= 0)
 
     # --- progressive-sensitivity early exit (align.cpp:445-449) -------------
-    lev = jnp.where(acc_pre, wmm, BIGLEVEL)
-    minw_rank = jnp.full((B * MS,), BIGLEVEL, jnp.int32).at[
-        rid * MS + rank].min(lev).reshape(B, MS)
-    prefmin = jax.lax.associative_scan(jnp.minimum, minw_rank, axis=1)
-    r_i = jnp.arange(MS, dtype=jnp.int32)
-    stopped = prefmin <= r_i[None, :]
-    any_stop = stopped.any(axis=1)
-    s_star = jnp.where(any_stop, jnp.argmax(stopped, axis=1), MS - 1)
-    accepted = acc_pre & (rank <= _g1(s_star, rid))
+    if cfg.pe:
+        # PairAlign runs every segment of both mates (pairs.cpp:163-172):
+        # no per-mate early exit
+        accepted = acc_pre
+    else:
+        lev = jnp.where(acc_pre, wmm, BIGLEVEL)
+        minw_rank = jnp.full((B * MS,), BIGLEVEL, jnp.int32).at[
+            rid * MS + rank].min(lev).reshape(B, MS)
+        prefmin = jax.lax.associative_scan(jnp.minimum, minw_rank, axis=1)
+        r_i = jnp.arange(MS, dtype=jnp.int32)
+        stopped = prefmin <= r_i[None, :]
+        any_stop = stopped.any(axis=1)
+        s_star = jnp.where(any_stop, jnp.argmax(stopped, axis=1), MS - 1)
+        accepted = acc_pre & (rank <= _g1(s_star, rid))
 
     # --- per-level/chain counts ---------------------------------------------
     label = jnp.where(accepted, wmm * 2 + chain, 2 * MS)
@@ -420,7 +429,8 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
 
     # --- replay detection ----------------------------------------------------
     replay = (lev_sums >= cfg.max_num_hits).any(axis=1)
-    if cfg.report_repeat_hits == 0:
+    if cfg.report_repeat_hits == 0 and not cfg.pe:
+        # the -r 0 second-equal-best abort is SE-only (align.cpp:210 guard)
         replay = replay | (found & (ssum > 1))
 
     # --- reproducible multi-hit selection (align.cpp:623-625) ---------------
@@ -471,6 +481,28 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
               | (sel_chrp << 10))
         return jnp.stack([sel_wloc, w1], axis=1)
 
+    hit_cols = []
+    if cfg.hits_k:
+        # compacted per-read hit list (discovery order): wloc + packed
+        # (wmm 4b | chain<<4 | seg-rank<<5 | chrp<<9); reads with more than
+        # K accepted hits raise the replay bit (exact host fallback)
+        K = cfg.hits_k
+        acc_i = accepted.astype(jnp.int32)
+        hcs = jnp.cumsum(acc_i)
+        read_start = _g1(starts, rid * NB)
+        hbase = jnp.where(read_start > 0,
+                          _g1(hcs, jnp.clip(read_start - 1, 0, CANDS - 1)), 0)
+        hrank = hcs - hbase - 1                       # 0-based within read
+        tgt = jnp.where(accepted & (hrank < K), rid * K + hrank, B * K)
+        hw1 = wmm | (chain << 4) | (rank << 5) | (chrp << 9)
+        hits_loc = jnp.zeros((B * K + 1,), jnp.int32).at[tgt].set(
+            wloc, mode="drop").at[B * K].set(0)[: B * K].reshape(B, K)
+        hits_w1 = jnp.full((B * K + 1,), -1, jnp.int32).at[tgt].set(
+            hw1, mode="drop")[: B * K].reshape(B, K)
+        nacc = jnp.zeros((B,), jnp.int32).at[rid].add(acc_i)
+        replay = replay | (nacc > K)
+        hit_cols = [hits_loc, hits_w1]
+
     # one packed int32 output array -> a single device-to-host transfer
     extras = jnp.stack(
         [found.astype(jnp.int32), ii, ssum, sel_chain, sel_chrp, sel_wloc,
@@ -478,7 +510,8 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
          replay.astype(jnp.int32), totals, s_off, c_off,
          (rend <= CANDS).astype(jnp.int32),
          (totals > CANDS).astype(jnp.int32)], axis=1)
-    return jnp.concatenate([counts.reshape(B, 2 * MS), extras], axis=1)
+    return jnp.concatenate([counts.reshape(B, 2 * MS), extras] + hit_cols,
+                           axis=1)
 
 
 N_EXTRAS = 15
@@ -648,7 +681,8 @@ class DeviceEngine:
         return (max_off == 0) | (reach > lens - S)
 
     def _sync_state_span(self, read_of, lo: int, hi: int,
-                         dev_soff, dev_coff, lens, replay_flag, mode: str):
+                         dev_soff, dev_coff, lens, replay_flag, mode: str,
+                         state=None):
         """Apply the MateState effects of device-handled reads [lo, hi) (batch
         order) before a host replay that may read stale state.  Seed buffers:
         last-writer-wins backward fill; start offsets: last read with
@@ -658,7 +692,7 @@ class DeviceEngine:
         if hi <= lo:
             return
         p = self.param
-        st = self.host.mate_state
+        st = state if state is not None else self.host.mate_state
         S, I = p.seed_size, p.index_interval
         # start offsets: last preceding read with max_off > 0; skip if that
         # read was itself host-replayed (its run_align already set them)
@@ -681,30 +715,14 @@ class DeviceEngine:
                     if mode in ("r", "b"):
                         st.cseed_start_offset = int(dev_coff[k])
         # seed buffers: walk backward, filling uncovered entries
-        from ..encoding import seed_values
-        need = np.ones(MateState.SEEDBUF, dtype=bool)
-        for k in range(hi - 1, lo - 1, -1):
-            rd = read_of(k)
-            L = len(rd.seq)
-            if L < S:
-                continue
-            n_ent = L - S + 1
-            fill = need[:n_ent]
-            if fill.any():
-                sb = np.frombuffer(rd.seq.encode("latin1"), dtype=np.uint8)
-                codes = p.alphabet[sb].astype(np.int8)
-                sv = seed_values(codes, S)
-                st.seed_buf[:n_ent][fill] = sv[fill]
-                ccodes = p.rev_alphabet[sb[::-1]].astype(np.int8)
-                csv = seed_values(ccodes, S)
-                st.cseed_buf[:n_ent][fill] = csv[fill]
-                need[:n_ent] = False
-            if not need[:max(0, int(lens[lo:hi].max()) - S + 1)].any():
-                break
+        from .host_engine import fill_seed_buffers
+        cover = max(0, int(lens[lo:hi].max()) - S + 1)
+        fill_seed_buffers(p, st, read_of, lo, hi, cover)
         if offset_read is not None:
             rd = read_of(offset_read)
             self.host.sync_schedule(rd, int(
-                (p.max_snp_num + 1) * (len(rd.seq) - 1) // len(rd.seq)))
+                (p.max_snp_num + 1) * (len(rd.seq) - 1) // len(rd.seq)),
+                state=st)
 
     # -- batch orchestration -------------------------------------------------
 

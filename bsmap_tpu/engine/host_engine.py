@@ -46,6 +46,33 @@ class MateState:
         self.cseed_start_offset = 0
 
 
+def fill_seed_buffers(param, state: MateState, read_of, lo: int, hi: int,
+                      cover_upto: int) -> None:
+    """Apply the seed-buffer writes of reads [lo, hi) (in batch order) to
+    ``state``: last-writer-wins backward fill, materializing reads lazily
+    from newest to oldest and stopping once entries [0, cover_upto) are
+    covered."""
+    from ..encoding import seed_values
+    S = param.seed_size
+    need = np.ones(MateState.SEEDBUF, dtype=bool)
+    for k in range(hi - 1, lo - 1, -1):
+        rd = read_of(k)
+        L = len(rd.seq)
+        if L < S:
+            continue
+        n_ent = L - S + 1
+        fillm = need[:n_ent]
+        if fillm.any():
+            sb = np.frombuffer(rd.seq.encode("latin1"), dtype=np.uint8)
+            codes = param.alphabet[sb].astype(np.int8)
+            state.seed_buf[:n_ent][fillm] = seed_values(codes, S)[fillm]
+            ccodes = param.rev_alphabet[sb[::-1]].astype(np.int8)
+            state.cseed_buf[:n_ent][fillm] = seed_values(ccodes, S)[fillm]
+            need[:n_ent] = False
+        if not need[:cover_upto].any():
+            break
+
+
 @dataclasses.dataclass
 class SEResult:
     """Everything StringAlign / pair logic needs about one aligned read."""
@@ -249,20 +276,21 @@ class HostEngine:
         """Align an already-filtered read with the given mismatch budget."""
         return self._run_align(read, budget, state or self.mate_state)
 
-    def sync_schedule(self, read: Read, budget: int) -> None:
+    def sync_schedule(self, read: Read, budget: int,
+                      state: MateState | None = None) -> None:
         """Apply only the MateState side effects of aligning ``read``:
         seed-buffer prefix write (_convert) and the ReorderSeed start-offset
         update — used by the device engine to keep the stale-state emulation
         exact when its lean output rows don't carry the chosen offsets."""
         p = self.param
+        state = state or self.mate_state
         L = len(read.seq)
         seedseg_num = p.seedseg_num(L, budget)
-        codes, reg, ccodes, creg, sa, csa = self._convert(read,
-                                                          self.mate_state)
+        codes, reg, ccodes, creg, sa, csa = self._convert(read, state)
         flag_chain = bool(p.chains or read.readset < 2)
         cflag_chain = bool(p.chains or read.readset == 2)
         self._reorder(sa, csa, seedseg_num, L, flag_chain, cflag_chain,
-                      self.mate_state)
+                      state)
 
     def _run_align(self, read: Read, budget: int,
                    state: MateState) -> SEResult:

@@ -1,0 +1,385 @@
+"""Vectorized pair-end engine (pairs.cpp rebuilt for the device fast path).
+
+TPU-first reformulation of the reference's lockstep escalation
+(pairs.cpp:137-190): because a hit with w mismatches discovered at segment
+rank r is available for pairing at step i iff r <= i, and GetPairs at step i
+sweeps exactly the (na, nb) combos with max(na, nb) == i, the winning step is
+
+    i* = min over valid pairs of max(na, nb)   with rank_a, rank_b <= max(na, nb)
+
+— a pure function of the COMPLETE per-mate hit enumerations.  So both mates
+run the fused SE kernel once (cfg.pe: every segment, no early exit,
+align.cpp:210's -r 0 abort disabled for PE) emitting compacted per-read hit
+lists, and the pairing (eligibility, winning step/total, reference sweep
+order, reproducible selection) is a vectorized K x K join on the host.
+
+Sequential corners are detected and the PAIR replayed on the exact host
+engine (PairHostEngine), with MateState kept bit-exact per mate:
+  * per-mate bucket-cap / snp_thres tightening (kernel replay bit),
+  * > K accepted hits for a mate (kernel replay bit),
+  * pairhits bucket reaching max_num_hits (sweep truncation, pairs.cpp:107),
+  * stale seed-schedule reads (mixed/short lengths),
+  * a filtered mate (the surviving mate then follows the SE early-exit
+    semantics of run_align: pairs.cpp:206-212).
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+import numpy as np
+
+from ..index import SeedIndex
+from ..params import MAXSNPS, Param
+from ..readio import Read
+from ..reference import PackedGenome
+from ..utils import myrand_hash
+from .device_engine import (DeviceEngine, EngineUnsupported, N_EXTRAS,
+                            X_CHAIN, X_CHRP, X_WLOC, X_REPLAY, X_SOFF,
+                            X_COFF, X_OK, X_BIG)
+from .host_engine import SEResult
+from .pair_host import PairHit, PairHostEngine, PairResult, fix_pair_read_name
+from ..trim import filter_read
+
+PAIR_HITS_K = int(_os.environ.get("BSMAP_TPU_PAIR_HITS_K", 16))
+BIG = np.int32(0x3FFFFFFF)
+
+
+class _SelList:
+    """Stand-in for a per-level hit list when only the reproducibly-selected
+    element will ever be indexed (string_align_unpair's myrand pick)."""
+
+    def __init__(self, n: int, hit):
+        self._n = n
+        self._hit = hit
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, k):
+        return self._hit
+
+
+class PairSEView:
+    """SEResult-compatible view of one mate's full kernel row (counts +
+    reproducible selection), for the unpaired-fallback formatter."""
+
+    filtered = False
+    aborted_repeat = False
+
+    def __init__(self, row: np.ndarray, maxseg: int, budget: int):
+        counts = row[: 2 * maxseg].reshape(maxseg, 2)
+        ex = row[2 * maxseg:]
+        self.n_hit = np.zeros(MAXSNPS + 1, dtype=np.int64)
+        self.n_chit = np.zeros(MAXSNPS + 1, dtype=np.int64)
+        self.n_hit[:maxseg] = counts[:, 0]
+        self.n_chit[:maxseg] = counts[:, 1]
+        self.read_max_snp_num = budget
+        hit = (int(ex[X_CHRP]), int(ex[X_WLOC]))
+        # the kernel's selection used the same myrand hash the formatter
+        # will derive its index from, so whichever side/slot is indexed,
+        # the answer is this hit
+        self.hits = [_SelList(int(h), hit) for h in self.n_hit]
+        self.chits = [_SelList(int(h), hit) for h in self.n_chit]
+
+
+class PairDeviceEngine:
+    """Batch PE aligner: two fused SE dispatches + host K x K pair join."""
+
+    def __init__(self, genome: PackedGenome, index: SeedIndex, param: Param):
+        if param.RRBS_flag:
+            raise EngineUnsupported("device PE: RRBS runs on the host engine")
+        if param.randseed == 0:
+            raise EngineUnsupported("device PE needs -S != 0")
+        if param.adapters or param.qual_threshold != 0:
+            raise EngineUnsupported("device PE: trimming configs run on the "
+                                    "host engine (filter_read mutates reads)")
+        self.param = param
+        self.se = DeviceEngine(genome, index, param)
+        self.pair_host = PairHostEngine(self.se.host)   # exact replay path
+        self.K = PAIR_HITS_K
+        self.MS = self.se._maxseg
+        self.n_replayed = 0
+
+    def _cfg(self, readset: int):
+        mode = "b" if self.param.chains else ("f" if readset == 1 else "r")
+        return self.se._cfg(mode)._replace(pe=True, hits_k=self.K)
+
+    # -- the vectorized GetPairs sweep (pairs.cpp:34-135) ---------------------
+
+    def _join(self, rows_a, rows_b, La, Lb, buds_a, buds_b, rand_a):
+        """Vectorized pairing, chunked to bound the (chunk, K, K) workspace."""
+        CH = 4096
+        n = rows_a.shape[0]
+        if n > CH:
+            parts = [self._join(rows_a[s: s + CH], rows_b[s: s + CH],
+                                La[s: s + CH], Lb[s: s + CH],
+                                buds_a[s: s + CH], buds_b[s: s + CH],
+                                rand_a[s: s + CH])
+                     for s in range(0, n, CH)]
+            out = {k: np.concatenate([p[k] for p in parts])
+                   for k in parts[0] if k != "sel"}
+            out["sel"] = {k: np.concatenate([p["sel"][k] for p in parts])
+                          for k in parts[0]["sel"]}
+            return out
+        p = self.param
+        MS, K = self.MS, self.K
+        base = 2 * MS + N_EXTRAS
+        n = rows_a.shape[0]
+
+        def unpack(rows):
+            loc = rows[:, base: base + K]
+            w1 = rows[:, base + K: base + 2 * K]
+            v = w1 >= 0
+            return (loc, w1 & 15, (w1 >> 4) & 1, (w1 >> 5) & 15,
+                    (w1 >> 9) & 0xFFFF, v)
+
+        locA, wA, chA, rkA, cpA, vA = unpack(rows_a)
+        locB, wB, chB, rkB, cpB, vB = unpack(rows_b)
+
+        aloc = locA[:, :, None].astype(np.int64)
+        bloc = locB[:, None, :].astype(np.int64)
+        wa, wb = wA[:, :, None], wB[:, None, :]
+        m = np.maximum(wa, wb)
+        # chain 0: a-fwd x b-rc; chain 1: a-rc x b-fwd (pairs.cpp:60,88)
+        pchain = np.where(chA[:, :, None] == 0, 0, 1)
+        chain_ok = (chA[:, :, None] ^ chB[:, None, :]) == 1
+        same_chr = cpA[:, :, None] == cpB[:, None, :]
+        avail = (rkA[:, :, None] <= m) & (rkB[:, None, :] <= m)
+        odd = (cpA[:, :, None] & 1)
+        a_end_form = odd != pchain
+        ins = np.where(a_end_form,
+                       aloc + La[:, None, None] - bloc,
+                       bloc + Lb[:, None, None] - aloc)
+        elig = (vA[:, :, None] & vB[:, None, :] & chain_ok & same_chr
+                & avail & (wa <= buds_a[:, None, None])
+                & (wb <= buds_b[:, None, None])
+                & (ins >= p.min_insert) & (ins <= p.max_insert))
+
+        m_m = np.where(elig, m, BIG)
+        i_star = m_m.min(axis=(1, 2))
+        paired = i_star < BIG
+        at_win = elig & (m == i_star[:, None, None])
+        tot = wa + wb
+        win_total = np.where(at_win, tot, BIG).min(axis=(1, 2))
+        F = at_win & (tot == win_total[:, None, None])
+        cnt = F.sum(axis=(1, 2))
+        cap_replay = cnt >= p.max_num_hits
+
+        # reference sweep order at step i*: GetPairs(i,i), then j ascending
+        # (i,j) before (j,i); within a combo chain 0 before chain 1; within
+        # a sweep (a sorted rank, b sorted rank) lexicographic
+        combo = np.where(wa == wb, 0,
+                         np.where(wb < wa, 1 + 2 * wb, 2 + 2 * wa))
+
+        def sorted_rank(loc, w, ch, cp, v):
+            same = (v[:, :, None] & v[:, None, :]
+                    & (w[:, :, None] == w[:, None, :])
+                    & (ch[:, :, None] == ch[:, None, :]))
+            less = ((cp[:, None, :] < cp[:, :, None])
+                    | ((cp[:, None, :] == cp[:, :, None])
+                       & (loc[:, None, :] < loc[:, :, None])))
+            return (same & less).sum(axis=2).astype(np.int32)   # (n, K)
+
+        raA = sorted_rank(locA, wA, chA, cpA, vA)
+        raB = sorted_rank(locB, wB, chB, cpB, vB)
+        key = ((((combo << 1) | pchain) << 6 | raA[:, :, None]) << 6) \
+            | raB[:, None, :]
+        # payload-packed keys: sort (n, K*K) and take the myrand-j-th
+        kidx = np.arange(K * K, dtype=np.int64)
+        keyp = np.where(F, (key.astype(np.int64) << 12) | kidx.reshape(
+            1, K, K), np.int64(1) << 60).reshape(n, K * K)
+        keyp.sort(axis=1)
+        j = (rand_a % np.maximum(cnt, 1).astype(np.uint32)).astype(np.int64)
+        selp = np.take_along_axis(keyp, j[:, None], axis=1)[:, 0]
+        sel_kl = (selp & 0xFFF).astype(np.int32)
+        sel_k, sel_l = sel_kl // K, sel_kl % K
+
+        r = np.arange(n)
+        return {
+            "paired": np.where(paired, i_star + 1, 0).astype(np.int32),
+            "win_total": win_total,
+            "cnt": cnt.astype(np.int32),
+            "cap_replay": cap_replay,
+            "sel": {
+                "chain": np.where(paired, chA[r, sel_k], 0),
+                "na": wA[r, sel_k], "nb": wB[r, sel_l],
+                "insert": np.where(paired, ins[r, sel_k, sel_l], 0),
+                "a_chr": cpA[r, sel_k], "a_loc": locA[r, sel_k],
+                "b_chr": cpB[r, sel_l], "b_loc": locB[r, sel_l],
+            },
+        }
+
+    # -- batch orchestration ---------------------------------------------------
+
+    def align_batch(self, batch_a: list[Read], batch_b: list[Read]):
+        p = self.param
+        se = self.se
+        n0 = len(batch_a)
+        results: list = [None] * n0
+
+        filt_a = np.zeros(n0, dtype=bool)
+        filt_b = np.zeros(n0, dtype=bool)
+        buds_a0 = np.zeros(n0, dtype=np.int32)
+        buds_b0 = np.zeros(n0, dtype=np.int32)
+        for i, (ra, rb) in enumerate(zip(batch_a, batch_b)):
+            fa, ba = filter_read(ra, p)
+            fb, bb = filter_read(rb, p)
+            fix_pair_read_name(ra, rb, p)
+            filt_a[i], filt_b[i] = fa, fb
+            buds_a0[i], buds_b0[i] = ba, bb
+
+        live = ~(filt_a | filt_b)
+        live_pos = np.nonzero(live)[0]
+        n = len(live_pos)
+        MS, K = self.MS, self.K
+        width = 2 * MS + N_EXTRAS + 2 * K
+        rows_a = np.zeros((n, width), dtype=np.int32)
+        rows_b = np.zeros((n, width), dtype=np.int32)
+
+        if n:
+            idxs = [int(i) for i in live_pos]
+            arrs_a = se._pack_host(batch_a, idxs, buds_a0[live_pos])
+            arrs_b = se._pack_host(batch_b, idxs, buds_b0[live_pos])
+            ca, ga, la, ba_, _, ridx_a = arrs_a
+            cb, gb, lb, bb_, _, ridx_b = arrs_b
+            rand_a = myrand_hash(ridx_a, p.randseed)
+            rand_b = myrand_hash(ridx_b, p.randseed)
+            cfg_a, cfg_b = self._cfg(1), self._cfg(2)
+            risk = se._stale_risk(la, ba_) | se._stale_risk(lb, bb_)
+
+            done = np.zeros(n, dtype=bool)
+            todo = np.arange(n, dtype=np.int64)
+            while len(todo):
+                wins = [todo[i: i + se.B]
+                        for i in range(0, len(todo), se.B)]
+                pend = []
+                for sel in wins:
+                    oa = se._dispatch(cfg_a, se._pad_window(
+                        (ca, ga, la, ba_, rand_a), sel))
+                    ob = se._dispatch(cfg_b, se._pad_window(
+                        (cb, gb, lb, bb_, rand_b), sel))
+                    for o in (oa, ob):
+                        try:
+                            o.copy_to_host_async()
+                        except Exception:
+                            pass
+                    pend.append((sel, oa, ob))
+                next_todo = []
+                for sel, oa, ob in pend:
+                    ra_ = np.asarray(oa)[: len(sel)]
+                    rb_ = np.asarray(ob)[: len(sel)]
+                    ok = (ra_[:, 2 * MS + X_OK] != 0) & \
+                         (rb_[:, 2 * MS + X_OK] != 0)
+                    big = (ra_[:, 2 * MS + X_BIG] != 0) | \
+                          (rb_[:, 2 * MS + X_BIG] != 0)
+                    rows_a[sel[ok]] = ra_[ok]
+                    rows_b[sel[ok]] = rb_[ok]
+                    done[sel[ok]] = True
+                    bad = sel[~ok]
+                    if len(bad):
+                        bigbad = sel[~ok & big]
+                        for k in bigbad:
+                            rows_a[k] = 0
+                            rows_a[k, 2 * MS + X_REPLAY] = 1
+                            done[k] = True
+                        rest = bad[~np.isin(bad, bigbad)]
+                        if len(rest):
+                            next_todo.append(rest)
+                todo = (np.concatenate(next_todo)
+                        if next_todo else np.zeros(0, dtype=np.int64))
+
+            join = self._join(rows_a, rows_b, la.astype(np.int64),
+                              lb.astype(np.int64), ba_, bb_, rand_a)
+            replay_flag = ((rows_a[:, 2 * MS + X_REPLAY] != 0)
+                           | (rows_b[:, 2 * MS + X_REPLAY] != 0)
+                           | join["cap_replay"] | risk)
+        else:
+            join = None
+            replay_flag = np.zeros(0, dtype=bool)
+            la = lb = None
+
+        # --- in-order assembly with exact dual MateState maintenance --------
+        # All host-path pairs (replays, and pairs with a filtered mate whose
+        # surviving mate runs SE-style: pairs.cpp:206-212) must mutate the
+        # per-mate states in BATCH order; device spans in between are synced
+        # lazily before any host pair that may read stale state.
+        st_a, st_b = self.pair_host.state_a, self.pair_host.state_b
+        read_a = lambda t: batch_a[int(live_pos[t])]
+        read_b = lambda t: batch_b[int(live_pos[t])]
+        mode_a = "b" if p.chains else "f"
+        mode_b = "b" if p.chains else "r"
+        live_row = np.full(n0, -1, dtype=np.int64)
+        live_row[live_pos] = np.arange(n)
+
+        def sync_to(cursor: int, t: int) -> int:
+            se._sync_state_span(read_a, cursor, t,
+                                rows_a[:, 2 * MS + X_SOFF],
+                                rows_a[:, 2 * MS + X_COFF], la,
+                                replay_flag, mode_a, state=st_a)
+            se._sync_state_span(read_b, cursor, t,
+                                rows_b[:, 2 * MS + X_SOFF],
+                                rows_b[:, 2 * MS + X_COFF], lb,
+                                replay_flag, mode_b, state=st_b)
+            return t
+
+        cursor = 0
+        next_live = 0
+        for i in range(n0):
+            t = int(live_row[i])
+            if t >= 0:
+                next_live = t + 1
+                if not replay_flag[t]:
+                    continue
+                if risk[t]:
+                    cursor = sync_to(cursor, t) + 1
+                results[i] = self.pair_host.align_pair(batch_a[i],
+                                                       batch_b[i])
+                self.n_replayed += 1
+            else:
+                # filtered-mate pair: the surviving mate's run_align may
+                # read schedule state -> sync the preceding device span
+                cursor = sync_to(cursor, next_live)
+                results[i] = self.pair_host.align_pair(batch_a[i],
+                                                       batch_b[i])
+        if n:
+            sync_to(cursor, n)
+
+        for t in range(n):
+            if replay_flag[t]:
+                continue
+            i = int(live_pos[t])
+            paired = int(join["paired"][t])
+            pairhits: list = [[] for _ in range(2 * MAXSNPS + 1)]
+            if paired:
+                s = join["sel"]
+                ph = PairHit(chain=int(s["chain"][t]), na=int(s["na"][t]),
+                             nb=int(s["nb"][t]), insert=int(s["insert"][t]),
+                             a=(int(s["a_chr"][t]), int(s["a_loc"][t])),
+                             b=(int(s["b_chr"][t]), int(s["b_loc"][t])))
+                cnt = int(join["cnt"][t])
+                bucket = _SelList(cnt, ph)
+                pairhits[int(join["win_total"][t])] = bucket
+            results[i] = PairResult(
+                paired=paired, pairhits=pairhits,
+                res_a=PairSEView(rows_a[t], MS, int(buds_a0[i])),
+                res_b=PairSEView(rows_b[t], MS, int(buds_b0[i])),
+                filtered_a=False, filtered_b=False)
+        return results
+
+    def format_batch(self, batch_a, batch_b, fmt):
+        """Same contract as pair_pipeline.HostPairBatch.format_batch."""
+        p = self.param
+        results = self.align_batch(batch_a, batch_b)
+        main_parts: list[str] = []
+        unpair_parts: list[str] = []
+        for ra, rb, pres in zip(batch_a, batch_b, results):
+            fell = 1
+            if pres.paired:
+                text, fell = fmt.string_align_pair(ra, rb, pres)
+                main_parts.append(text)
+            if fell == 1 or not pres.paired:
+                up = fmt.string_align_unpair(
+                    ra, rb, pres.filtered_a, pres.filtered_b, pres)
+                (main_parts if p.out_sam else unpair_parts).append(up)
+        return "".join(main_parts), "".join(unpair_parts)

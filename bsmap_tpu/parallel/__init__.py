@@ -16,7 +16,8 @@ The TPU-native equivalents here:
     first-class).
 """
 
+from . import distributed
 from .mesh import make_mesh
 from .sharded import ShardedDeviceEngine
 
-__all__ = ["make_mesh", "ShardedDeviceEngine"]
+__all__ = ["distributed", "make_mesh", "ShardedDeviceEngine"]

@@ -1,0 +1,50 @@
+"""Multi-host data parallelism: N-process contiguous read-range sharding
+with exact MateState reconstruction at range boundaries must be
+byte-identical to the single-process run (parallel/distributed.py) — a
+stronger guarantee than the reference's manual -B/-E splitting, which
+resets the per-process aligner state."""
+
+import subprocess
+import sys
+
+import pytest
+
+from .conftest import REPO, simulate
+
+
+@pytest.fixture(scope="module")
+def dist_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dist")
+    simulate(d, genome_out="g.fa", reads_out="r.fq", n_reads=1500,
+             read_len=51, chr_len=30000, n_chr=2, seed=23, error_rate=0.02)
+    # mixed 50/51nt: the stale-schedule corner must survive the range cut
+    raw = (d / "r.fq").read_text().splitlines()
+    out = []
+    for k in range(0, len(raw), 4):
+        name, seq, plus, qual = raw[k: k + 4]
+        if (k // 4) % 2 == 0:
+            seq, qual = seq[:50], qual[:50]
+        out += [name, seq, plus, qual]
+    (d / "rm.fq").write_text("\n".join(out) + "\n")
+    return d
+
+
+def _run(d, out, extra):
+    import os
+    cmd = [sys.executable, "-m", "bsmap_tpu.cli", "-a", str(d / "rm.fq"),
+           "-d", str(d / "g.fa"), "-o", str(d / out), "-S", "1", "-v", "2",
+           "-u"] + extra
+    return subprocess.Popen(cmd, cwd=REPO, env=dict(os.environ),
+                            stdout=subprocess.DEVNULL)
+
+
+@pytest.mark.parametrize("engine", ["device", "host"])
+def test_two_process_equals_one(dist_data, engine):
+    d = dist_data
+    _run(d, "one.sam", ["--engine", engine]).wait()
+    p1 = _run(d, "two.sam", ["--engine", engine, "--nprocs", "2",
+                             "--proc-id", "1"])
+    p0 = _run(d, "two.sam", ["--engine", engine, "--nprocs", "2",
+                             "--proc-id", "0"])
+    assert p0.wait() == 0 and p1.wait() == 0
+    assert (d / "one.sam").read_bytes() == (d / "two.sam").read_bytes()

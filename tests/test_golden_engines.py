@@ -68,6 +68,45 @@ def test_device_bsp_parity(reference_binary, eng_data):
     assert_same(eng_data, "ref.bsp", "our.bsp")
 
 
+@pytest.fixture(scope="module")
+def pe_eng_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pe_eng")
+    simulate(d, genome_out="ec.fa", reads_out="pe1.fq", reads2_out="pe2.fq",
+             pe=True, n_reads=500, read_len=76, chr_len=50000, seed=41,
+             error_rate=0.01)
+    # short inserts force overlap trimming at emit (pairs.cpp:296-306)
+    simulate(d, genome_out="ec2.fa", reads_out="po1.fq", reads2_out="po2.fq",
+             pe=True, n_reads=400, read_len=76, chr_len=40000, seed=42,
+             insert_min=40, insert_max=120, error_rate=0.01)
+    return d
+
+
+@pytest.mark.parametrize("cfg", [
+    ["-S", "1", "-v", "2", "-u"],
+    ["-S", "1", "-v", "2", "-n", "1", "-u"],
+    ["-S", "1", "-v", "2", "-r", "0", "-u"],
+])
+def test_pe_device_sam_parity(reference_binary, pe_eng_data, cfg):
+    base = ["-a", "pe1.fq", "-b", "pe2.fq", "-d", "ec.fa"]
+    run_ref(reference_binary, pe_eng_data, base + ["-o", "refp.sam"] + cfg)
+    run_ours(pe_eng_data, base + ["-o", "ourp.sam"] + cfg, engine="device")
+    assert_same(pe_eng_data, "refp.sam", "ourp.sam")
+
+
+def test_pe_device_overlap_and_bsp(reference_binary, pe_eng_data):
+    base = ["-a", "po1.fq", "-b", "po2.fq", "-d", "ec2.fa",
+            "-S", "3", "-v", "2", "-u"]
+    run_ref(reference_binary, pe_eng_data, base + ["-o", "refo.sam"])
+    run_ours(pe_eng_data, base + ["-o", "ouro.sam"], engine="device")
+    assert_same(pe_eng_data, "refo.sam", "ouro.sam")
+    run_ref(reference_binary, pe_eng_data,
+            base + ["-o", "refo.bsp", "-2", "refo.unp"])
+    run_ours(pe_eng_data, base + ["-o", "ouro.bsp", "-2", "ouro.unp"],
+             engine="device")
+    assert_same(pe_eng_data, "refo.bsp", "ouro.bsp")
+    assert_same(pe_eng_data, "refo.unp", "ouro.unp")
+
+
 @pytest.mark.parametrize("engine", ["device", "sharded"])
 def test_mixed_length_stale_state(reference_binary, eng_data, engine):
     """The round-1 bug: interleaved 50/51nt reads diverge on the device
