@@ -26,47 +26,51 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_BASELINE_READS_PER_SEC = 1.8e5   # reference BSMAP, 1 CPU thread (above)
 BENCH_DIR = os.environ.get("BSMAP_TPU_BENCH_DIR", "/tmp/bsmap_tpu_bench")
-N_READS = int(os.environ.get("BSMAP_TPU_BENCH_READS", 200_000))
+N_READS = int(os.environ.get("BSMAP_TPU_BENCH_READS", 1_000_000))
 
 
-def main() -> None:
-    from tools.genreads import generate
-    gpath, rpath = generate(BENCH_DIR, n_reads=N_READS)
-
+def run_config(gpath: str, rpath: str, out_name: str):
+    """Align one config end-to-end; returns (n_reads, align_secs, phases)."""
     from bsmap_tpu.params import Param
     from bsmap_tpu.reference import load_genome
     from bsmap_tpu.index import (build_index, index_cache_key, load_index,
                                  save_index)
-    from bsmap_tpu.readio import open_read_stream, BATCH_NUM
-    from bsmap_tpu.output.sam import SamFormatter, sam_header
-    from bsmap_tpu.utils import RandR
-    from bsmap_tpu.cli import Options, make_engine
+    from bsmap_tpu.readio import open_read_stream, detect_format
+    from bsmap_tpu.output.sam import SamFormatter
+    from bsmap_tpu.utils import RandR, StepTimer
+    from bsmap_tpu.cli import (Options, make_engine, run_single_end_blocks,
+                               run_single_end_reads)
 
     p = Param()
     p.randseed = 17
     p.out_sam = 1
-
+    phases = {}
     t0 = time.time()
     genome = load_genome(gpath, p)
+    phases["load_genome_s"] = round(time.time() - t0, 1)
     cache = os.path.join(BENCH_DIR, "index")
     os.makedirs(cache, exist_ok=True)
     key = os.path.join(cache, index_cache_key(gpath, p) + ".npz")
+    t0 = time.time()
     if os.path.exists(key):
         index = load_index(key)
+        phases["index_load_s"] = round(time.time() - t0, 1)
     else:
         index = build_index(genome, p)
+        phases["index_build_s"] = round(time.time() - t0, 1)
         save_index(key, index)
     o = Options()
     o.param = p
     o.query_a = rpath
-    o.out_file = os.path.join(BENCH_DIR, "out.sam")
+    o.out_file = os.path.join(BENCH_DIR, out_name)
+    t0 = time.time()
     engine = make_engine(o, genome, index)
     fmt = SamFormatter(genome, p, RandR(1))
-
     # warmup: compile on a first block (persistent XLA cache makes repeat
     # runs start hot); uses the same lean program as the timed region
-    use_blocks0 = getattr(engine, "supports_blocks", lambda: False)()
-    if use_blocks0:
+    use_blocks = (getattr(engine, "supports_blocks", lambda: False)()
+                  and detect_format(rpath) < 2)
+    if use_blocks:
         from bsmap_tpu import native
         from bsmap_tpu.blockio import BlockReadStream
         bs = BlockReadStream(rpath, p, readset=0, lib=native.get_lib())
@@ -77,28 +81,48 @@ def main() -> None:
         engine.format_batch(s.next_batch(4096), fmt)
         s.close()
     fmt.n_aligned = 0
-    setup_s = time.time() - t0
+    phases["engine_warmup_s"] = round(time.time() - t0, 1)
 
-    from bsmap_tpu.cli import run_single_end_blocks, run_single_end_reads
-    from bsmap_tpu.utils import StepTimer
-    from bsmap_tpu.readio import detect_format
-    use_blocks = (getattr(engine, "supports_blocks", lambda: False)()
-                  and detect_format(rpath) < 2)
     t1 = time.time()
     if use_blocks:
         n = run_single_end_blocks(o, engine, fmt, genome, StepTimer())
     else:
         n = run_single_end_reads(o, engine, fmt, genome, StepTimer())
     dt = time.time() - t1
+    phases["engine"] = type(engine).__name__
+    phases["aligned"] = fmt.n_aligned
+    return n, dt, phases
+
+
+def main() -> None:
+    from tools.genreads import generate, generate_chr21
+    gpath, rpath = generate(BENCH_DIR, n_reads=N_READS)
+    n, dt, phases = run_config(gpath, rpath, "out.sam")
     value = n / dt
     print(json.dumps({
         "metric": "se_wgbs_100nt_v2_align_reads_per_sec",
         "value": round(value, 1),
         "unit": "reads/s",
         "vs_baseline": round(value / REF_BASELINE_READS_PER_SEC, 3),
-    }))
-    print(f"# {n} reads in {dt:.2f}s (setup {setup_s:.1f}s), "
-          f"engine={type(engine).__name__}", file=sys.stderr)
+    }), flush=True)
+    print(f"# 10Mb config: {n} reads in {dt:.2f}s, {phases}",
+          file=sys.stderr, flush=True)
+
+    if os.environ.get("BSMAP_TPU_BENCH_CHR21", "1") != "0":
+        # BASELINE config 4 class: 46.7Mb repeat-bearing chromosome
+        # (power-law seed buckets), reported alongside the headline;
+        # never allowed to take down the headline result
+        try:
+            g21, r21 = generate_chr21(BENCH_DIR,
+                                      n_reads=min(N_READS, 500_000))
+            n2, dt2, ph2 = run_config(g21, r21, "out_chr21.sam")
+            print(f"# chr21 config: {n2} reads in {dt2:.2f}s = "
+                  f"{n2 / dt2:.0f} reads/s (vs_baseline "
+                  f"{n2 / dt2 / REF_BASELINE_READS_PER_SEC:.3f}), {ph2}",
+                  file=sys.stderr, flush=True)
+        except Exception as e:   # noqa: BLE001
+            print(f"# chr21 config failed: {e}", file=sys.stderr,
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -351,9 +351,10 @@ def run_single_end_blocks(o: Options, engine, fmt, genome, timer,
     p = o.param
     lib = native.get_lib()
     stream = BlockReadStream(o.query_a, p, readset=0, lib=lib)
-    # 4 dispatch windows per block: _align_arrays enqueues every window
-    # before collecting, keeping the device pipeline 4 deep
-    blk_n = 4 * getattr(engine, "B", BATCH_NUM)
+    # 16 dispatch windows per block: _align_arrays enqueues every window
+    # before collecting, so device round-trip latency (the dominant cost on
+    # remote-attached chips) amortizes across the whole block
+    blk_n = 16 * getattr(engine, "B", BATCH_NUM)
     q_in: "queue.Queue" = queue.Queue(maxsize=4)
     q_out: "queue.Queue" = queue.Queue(maxsize=8)
 

@@ -74,8 +74,9 @@ import os as _os
 
 # reads per device dispatch / candidates per read of dispatch capacity
 # (fixed shapes: one compiled program); env-overridable so CPU test runs can
-# use small, fast-to-compile shapes.
-DEV_BATCH = int(_os.environ.get("BSMAP_TPU_DEV_BATCH", 16384))
+# use small, fast-to-compile shapes.  Sized large: per-dispatch round-trip
+# latency to the device dominates at small windows.
+DEV_BATCH = int(_os.environ.get("BSMAP_TPU_DEV_BATCH", 65536))
 CANDS_PER_READ = int(_os.environ.get("BSMAP_TPU_CANDS_PER_READ", 16))
 BIGLEVEL = 99
 SATLIM = np.uint32(1 << 30)    # saturating-cumsum fixed point (overflow guard)
@@ -103,6 +104,12 @@ class Cfg(NamedTuple):
                            # (PairAlign runs every segment, pairs.cpp:163),
                            # no -r 0 abort (align.cpp:210 pairend guard)
     hits_k: int = 0        # also emit up to K compacted hits per read
+    rrbs: bool = False     # digestion-site index: tag-filtered candidates,
+                           # chr-local coords, SE fragment filter
+                           # (align.cpp:175-251, dbseq.cpp:541-567)
+    min_ins: int = 0       # RRBS fragment-length window (-m/-x)
+    max_ins: int = 0
+    tail: int = 0          # len(digest_site) - 2*digest_pos
 
     @property
     def nch(self) -> int:
@@ -165,7 +172,7 @@ def _seed_array(codes, S, P):
 
 
 def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
-                   codes, regs, lens, budgets):
+                   codes, regs, lens, budgets, maxrank):
     B = codes.shape[0]
     S, I, P, MS = cfg.S, cfg.I, cfg.P, cfg.maxseg
 
@@ -196,13 +203,28 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
     off_i = jnp.arange(S, dtype=jnp.int32)
     BIGU = jnp.uint32(0xFFFFFFFF)
 
-    def chain_schedule(ccodes):
+    def chain_schedule(ccodes, koff):
         sarr = _seed_array(ccodes, S, P)            # (B, P) int32
         # per-position bucket rows: the only random-access gather of stage 1.
         # row = [watson_off, total_count, watson_count, crick_off]
         rows = _rowg(d_kmer_tab, sarr)              # (B, P, 4) int32
         o0, cnt, wc, o3 = (rows[..., 0], rows[..., 1], rows[..., 2],
                            rows[..., 3])
+        if cfg.rrbs:
+            # RRBS: one probed position per segment (I=1), no offset scan
+            # or refinement; segments ordered by RAW bucket size
+            # (host_engine._reorder RRBS branch, align.cpp:471-503)
+            a_n = prof_a[: MS, 0]                              # (MS,)
+            pos = jnp.clip(a_n[None, :] + koff[:, None], 0, P - 1)
+            cost_n = _taa(cnt, pos).astype(jnp.uint32)         # (B, MS)
+            seg_mask = (n_i[None, :] < seedseg[:, None])
+            cost_s = cost_n ^ jnp.uint32(0x80000000)
+            key_hi = jnp.where(seg_mask, cost_s, BIGU)
+            order = jnp.argsort(key_hi, axis=1,
+                                stable=True).astype(jnp.int32)
+            start_arr = jnp.zeros((B, MS), jnp.int32)
+            return (start_arr, order, o0, cnt, wc, o3,
+                    jnp.zeros((B,), jnp.int32))
         # reference cost includes the +2 CSR header slots (dbseq.cpp:381).
         # Sums are WRAPPING uint32 like the reference's bit32_t totals
         # (align.cpp:455,507).
@@ -256,7 +278,19 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
         order = jnp.argsort(key_hi, axis=1, stable=True).astype(jnp.int32)
         return start_arr, order, o0, cnt, wc, o3, s_off
 
-    scheds = [chain_schedule(c) for c, _ in chains]
+    # per-chain RRBS position shift: the RC chain probes a + (len % S)
+    # (align.cpp:175-251 cseed_offset); 0 for WGBS and forward chains
+    rc_shift = (lens % S).astype(jnp.int32) if cfg.rrbs \
+        else jnp.zeros_like(lens)
+    zero_off = jnp.zeros_like(lens)
+    if cfg.chains_mode == "f":
+        koffs = [zero_off]
+    elif cfg.chains_mode == "r":
+        koffs = [rc_shift]
+    else:
+        koffs = [zero_off, rc_shift]
+
+    scheds = [chain_schedule(c, k) for (c, _), k in zip(chains, koffs)]
 
     # --- slot grid in discovery order: (rank, chain, phase) -----------------
     NB, nch = cfg.NB, cfg.nch
@@ -264,22 +298,29 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
     slot_cs = jnp.tile(jnp.repeat(jnp.arange(nch, dtype=jnp.int32), I), MS)
     slot_phase = jnp.tile(jnp.arange(I, dtype=jnp.int32), nch * MS)
 
-    def slot_desc(start_arr, order, o0_p, cnt_p, wc_p, o3_p):
+    def slot_desc(start_arr, order, o0_p, cnt_p, wc_p, o3_p, koff, is_rc):
         mode = _taa(order, jnp.broadcast_to(slot_rank[None, :], (B, NB)))
         a = _g1(prof_a, mode * I + slot_phase[None, :])
         st = _taa(start_arr, mode)
-        k = a + st - slot_phase[None, :]
+        k = a + st - slot_phase[None, :] + koff[:, None]
         k_c = jnp.clip(k, 0, P - 1)
-        h = -a + slot_phase[None, :] - st
+        h = -a + slot_phase[None, :] - st - koff[:, None]
         # positions beyond the read's fresh seed range are stale-state
         # corners handled by host replay; zero them so the device result
         # (discarded for those reads) stays in-bounds
         fresh = (k >= 0) & (k <= (lens - S)[:, None])
+        if cfg.rrbs:
+            # the RRBS tag filter wants the SEGMENT id (align.cpp:183-196)
+            want = jnp.where(is_rc, lens[:, None] // S - 1 - mode, mode)
+        else:
+            want = mode
         return (_taa(o0_p, k_c), jnp.where(fresh, _taa(cnt_p, k_c), 0),
-                _taa(wc_p, k_c), _taa(o3_p, k_c), h)
+                _taa(wc_p, k_c), _taa(o3_p, k_c), h, want)
 
-    descs = [slot_desc(st, o, o0p, cp, wp, o3p)
-             for st, o, o0p, cp, wp, o3p, _ in scheds]
+    descs = [slot_desc(st, o, o0p, cp, wp, o3p, koff, bool(is_rc))
+             for (st, o, o0p, cp, wp, o3p, _), koff, is_rc in zip(
+                 scheds, koffs,
+                 [cfg.chains_mode == "r"] if nch == 1 else [False, True])]
     if nch == 2:
         is_c = (slot_cs[None, :] == 1)
         off0 = jnp.where(is_c, descs[1][0], descs[0][0])
@@ -287,10 +328,15 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
         wcnt = jnp.where(is_c, descs[1][2], descs[0][2])
         off3 = jnp.where(is_c, descs[1][3], descs[0][3])
         h = jnp.where(is_c, descs[1][4], descs[0][4])
+        wantv = jnp.where(is_c, descs[1][5], descs[0][5])
     else:
-        off0, cnt, wcnt, off3, h = descs[0]
+        off0, cnt, wcnt, off3, h, wantv = descs[0]
 
-    valid = slot_rank[None, :] < seedseg[:, None]
+    # progressive-sensitivity escalation: only ranks <= maxrank enumerate
+    # candidates this pass (the reference's per-segment early exit recast
+    # as batched passes; unresolved reads re-dispatch at maxrank+1)
+    valid = (slot_rank[None, :] < seedseg[:, None]) & \
+        (slot_rank[None, :] <= maxrank[:, None])
     cnt = jnp.where(valid, cnt, 0)
     # MateState carry: per-chain chosen global start offsets (s_off / c_off)
     s_off_out = scheds[0][6]
@@ -298,7 +344,7 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
         jnp.zeros((B,), jnp.int32)
     if cfg.chains_mode == "r":
         s_off_out = jnp.zeros((B,), jnp.int32)
-    return qw, rw, h, off0, off3, wcnt, cnt, s_off_out, c_off_out
+    return qw, rw, h, off0, off3, wcnt, cnt, wantv, s_off_out, c_off_out
 
 
 # ---------------------------------------------------------------------------
@@ -306,8 +352,9 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
 # ---------------------------------------------------------------------------
 
 def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
-                 d_rcoff, d_wlocs, d_clocs, qw, rw, lens, budgets, rand32,
-                 h, off0, off3, wcnt, cnt, s_off, c_off):
+                 d_rcoff, d_wlocs, d_clocs, d_tags, d_sites, d_site_off,
+                 qw, rw, lens, budgets, rand32, maxrank,
+                 h, off0, off3, wcnt, cnt, wantv, s_off, c_off):
     B = qw.shape[0]
     W, NB, nch, I, MS = cfg.W, cfg.NB, cfg.nch, cfg.I, cfg.maxseg
     sidx = jnp.arange(CANDS, dtype=jnp.int32)
@@ -343,15 +390,32 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     g_wc = _g1(wcnt, fid)
     g_h = _g1(h, fid)
 
-    # entry coordinates are PER-STRAND uint32 (genomes up to ~4.2 Gb per
-    # strand; hg38 4-strand works in 32 bits because Watson and Crick have
-    # separate locs arrays and separate catcat halves)
-    crick = e >= g_wc
-    w_entry = _g1(d_wlocs, jnp.clip(g_off0 + e, 0, d_wlocs.shape[0] - 1))
-    c_entry = _g1(d_clocs, jnp.clip(g_off3 + (e - g_wc), 0,
-                                    d_clocs.shape[0] - 1))
-    entry = jnp.where(crick, c_entry, w_entry)          # uint32
-    g = entry + g_h.astype(jnp.uint32)                  # (CANDS,) uint32
+    tag_ok = None
+    if cfg.rrbs:
+        # RRBS entries are (tag, chr-local loc): accept only entries whose
+        # tag matches (segment id | rc-flag) for this slot (align.cpp:183)
+        eidx = jnp.clip(g_off0 + e, 0, d_wlocs.shape[0] - 1)
+        entry_loc = _g1(d_wlocs, eidx).astype(jnp.int32)
+        tag = _g1(d_tags, eidx)
+        g_want = _g1(wantv, fid)
+        tag_ok = (tag >> 16) == (g_want | (chain << 8))
+        chrp_t = (tag & 0xFFFF).astype(jnp.int32)
+        c = chrp_t >> 1
+        crick = (chrp_t & 1) == 1
+        loc_local = entry_loc + g_h                     # chr-local int32
+        tag_ok = tag_ok & (loc_local >= 0)
+        g = (_g1(d_anchors, c)
+             + jnp.clip(loc_local, 0, None).astype(jnp.uint32))
+    else:
+        # entry coordinates are PER-STRAND uint32 (genomes up to ~4.2 Gb
+        # per strand; hg38 4-strand works in 32 bits because Watson and
+        # Crick have separate locs arrays and separate catcat halves)
+        crick = e >= g_wc
+        w_entry = _g1(d_wlocs, jnp.clip(g_off0 + e, 0, d_wlocs.shape[0] - 1))
+        c_entry = _g1(d_clocs, jnp.clip(g_off3 + (e - g_wc), 0,
+                                        d_clocs.shape[0] - 1))
+        entry = jnp.where(crick, c_entry, w_entry)          # uint32
+        g = entry + g_h.astype(jnp.uint32)                  # (CANDS,) uint32
 
     # --- gather + phase-align the reference windows (11 x 1-D gathers) ------
     wbase = ((g >> 4).astype(jnp.int32)
@@ -377,44 +441,106 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     # --- coordinate transform + bounds (align.cpp:271-291) ------------------
     # d_anchors is uint32 (global per-strand coords); chr-local values fit
     # int32 (chromosome sizes < 2^31)
-    c = jnp.clip(jnp.searchsorted(d_anchors, g, side="right") - 1,
-                 0, cfg.n_chr - 1).astype(jnp.int32)
     llen = _g1(lens, rid)
-    loc_local = (g - _g1(d_anchors, c)).astype(jnp.int32)
+    if not cfg.rrbs:
+        c = jnp.clip(jnp.searchsorted(d_anchors, g, side="right") - 1,
+                     0, cfg.n_chr - 1).astype(jnp.int32)
+        loc_local = (g - _g1(d_anchors, c)).astype(jnp.int32)
     wloc = jnp.where(crick, _g1(d_rcoff, c) - llen - loc_local, loc_local)
     in_bounds = (wloc >= 0) & (loc_local >= 0) & \
         (wloc + llen <= _g1(d_sizes, c))
 
     eligible = live & in_bounds & (wmm <= _g1(budgets, rid))
+    if tag_ok is not None:
+        eligible = eligible & tag_ok
 
     # --- dedup by (read, chr, watson_loc): first discovery wins -------------
-    # lexicographic (rid*nchr+c, wloc) grouping via two stable int32 sorts
-    # (least-significant key first); ties stay in discovery order.
-    kc = jnp.where(eligible, rid * cfg.n_chr + c, -1)
-    kw = jnp.where(eligible, wloc, sidx)
-    perm = jnp.argsort(kw, stable=True)
-    perm = _g1(perm, jnp.argsort(_g1(kc, perm), stable=True))
-    c_s, w_s = _g1(kc, perm), _g1(kw, perm)
-    first_sorted = jnp.concatenate(
-        [jnp.ones((1,), bool), (c_s[1:] != c_s[:-1]) | (w_s[1:] != w_s[:-1])])
-    first = jnp.zeros(CANDS, bool).at[perm].set(first_sorted)
-    acc_pre = eligible & first & (kc >= 0)
+    # Cascaded scatter-hash tables instead of global sorts (TPU sorts are
+    # the kernel's dominant cost at big CANDS).  Same-key candidates always
+    # hash to the same slot, so a scatter-min of the discovery index per
+    # slot resolves each key group exactly unless a FOREIGN key occupies
+    # the slot first — those cascade to the next table with an independent
+    # hash; reads still unresolved after the cascade are host-replayed
+    # (exactness never depends on hash luck).
+    T = 1 << (2 * CANDS - 1).bit_length()
+    shift = jnp.uint32(32 - (T.bit_length() - 1))
+    rid_u = rid.astype(jnp.uint32)
+    c_u = c.astype(jnp.uint32)
+    w_u = wloc.astype(jnp.uint32)
+    first = jnp.zeros(CANDS, bool)
+    unresolved = eligible
+    for m1, m2, m3 in ((0x9E3779B1, 0x85EBCA6B, 0xC2B2AE35),
+                       (0x27D4EB2F, 0x165667B1, 0x9E3779B1),
+                       (0xC2B2AE35, 0x27D4EB2F, 0x85EBCA6B)):
+        h = (rid_u * jnp.uint32(m1) + c_u * jnp.uint32(m2)
+             + w_u * jnp.uint32(m3))
+        h = h ^ (h >> jnp.uint32(16))
+        slot = ((h * jnp.uint32(0x9E3779B1)) >> shift).astype(jnp.int32)
+        tbl = jnp.full((T,), CANDS, jnp.int32).at[slot].min(
+            jnp.where(unresolved, sidx, CANDS))
+        w = jnp.clip(_g1(tbl, slot), 0, CANDS - 1)
+        same = ((_g1(rid, w) == rid) & (_g1(c, w) == c)
+                & (_g1(wloc, w) == wloc))
+        is_me = w == sidx
+        first = first | (unresolved & is_me)
+        unresolved = unresolved & ~(is_me | same)
+    dedup_fail = unresolved
+    acc_pre = eligible & first
+
+    if cfg.rrbs and not cfg.pe:
+        # SE RRBS fragment filter (align.cpp:202-207): the hit must fall in
+        # a digestion fragment of valid length.  NOTE hitset insertion (the
+        # dedup above) happens BEFORE this filter in the reference.
+        # CCGG_seglen (dbseq.cpp:541-567): seg_start = the floor site (its
+        # binary search never returns the last site), seg_end = the first
+        # site at/after right0 whose end covers the read (else the last
+        # site's end, the documented OOB deviation).
+        nsit = _g1(d_site_off, c + 1) - _g1(d_site_off, c)
+        key1 = _g1(d_anchors, c) + jnp.clip(wloc, 0, None).astype(jnp.uint32)
+        left_g = jnp.searchsorted(d_sites, key1, side="right").astype(
+            jnp.int32) - 1
+        lo_c = _g1(d_site_off, c)
+        left_g = jnp.clip(left_g, lo_c,
+                          jnp.maximum(lo_c + nsit - 2, lo_c))
+        seg_start = (_g1(d_sites, jnp.clip(left_g, 0, d_sites.shape[0] - 1))
+                     - _g1(d_anchors, c)).astype(jnp.int32)
+        right0 = jnp.minimum(left_g + 1, lo_c + nsit - 1)
+        key2 = (_g1(d_anchors, c)
+                + jnp.clip(wloc + llen - cfg.tail, 0,
+                           None).astype(jnp.uint32))
+        first = jnp.searchsorted(d_sites, key2,
+                                 side="left").astype(jnp.int32)
+        right = jnp.clip(jnp.maximum(right0, first), lo_c,
+                         lo_c + jnp.maximum(nsit - 1, 0))
+        seg_end = (_g1(d_sites, jnp.clip(right, 0, d_sites.shape[0] - 1))
+                   - _g1(d_anchors, c)).astype(jnp.int32) + cfg.tail
+        zl = jnp.where(nsit > 0, seg_end - seg_start, 0)
+        frag_ok = (zl >= cfg.min_ins) & (zl <= cfg.max_ins)
+        # the filter applies to forward-chain hits only (align.cpp:202)
+        acc_pre = acc_pre & (frag_ok | (chain != 0))
 
     # --- progressive-sensitivity early exit (align.cpp:445-449) -------------
-    if cfg.pe:
-        # PairAlign runs every segment of both mates (pairs.cpp:163-172):
-        # no per-mate early exit
+    seedseg = jnp.clip(jnp.minimum((lens - cfg.I + 1) // cfg.S,
+                                   budgets + 1), 0, MS)
+    if cfg.pe or cfg.rrbs:
+        # PairAlign runs every segment of both mates (pairs.cpp:163-172);
+        # RRBS checks only after all segments (align.cpp:450)
         accepted = acc_pre
+        resolved = jnp.ones((B,), bool)
     else:
         lev = jnp.where(acc_pre, wmm, BIGLEVEL)
         minw_rank = jnp.full((B * MS,), BIGLEVEL, jnp.int32).at[
             rid * MS + rank].min(lev).reshape(B, MS)
         prefmin = jax.lax.associative_scan(jnp.minimum, minw_rank, axis=1)
         r_i = jnp.arange(MS, dtype=jnp.int32)
-        stopped = prefmin <= r_i[None, :]
+        stopped = (prefmin <= r_i[None, :]) & \
+            (r_i[None, :] <= maxrank[:, None])
         any_stop = stopped.any(axis=1)
         s_star = jnp.where(any_stop, jnp.argmax(stopped, axis=1), MS - 1)
         accepted = acc_pre & (rank <= _g1(s_star, rid))
+        # resolved: the read stopped within the enumerated ranks, or it has
+        # no more segments to run — otherwise the host escalates maxrank
+        resolved = any_stop | (maxrank >= seedseg - 1)
 
     # --- per-level/chain counts ---------------------------------------------
     label = jnp.where(accepted, wmm * 2 + chain, 2 * MS)
@@ -429,6 +555,8 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
 
     # --- replay detection ----------------------------------------------------
     replay = (lev_sums >= cfg.max_num_hits).any(axis=1)
+    # hash-dedup cascade exhausted for some candidate of this read
+    replay = replay | (jnp.zeros((B,), bool).at[rid].max(dedup_fail))
     if cfg.report_repeat_hits == 0 and not cfg.pe:
         # the -r 0 second-equal-best abort is SE-only (align.cpp:210 guard)
         replay = replay | (found & (ssum > 1))
@@ -478,7 +606,8 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
               | ((totals > CANDS).astype(jnp.int32) << 4)
               | ((ssum != 1).astype(jnp.int32) << 5)
               | (ii << 6)
-              | (sel_chrp << 10))
+              | (sel_chrp << 10)
+              | (resolved.astype(jnp.int32) << 26))
         return jnp.stack([sel_wloc, w1], axis=1)
 
     hit_cols = []
@@ -509,36 +638,77 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
          h00_found.astype(jnp.int32), h00_chrp, h00_wloc,
          replay.astype(jnp.int32), totals, s_off, c_off,
          (rend <= CANDS).astype(jnp.int32),
-         (totals > CANDS).astype(jnp.int32)], axis=1)
+         (totals > CANDS).astype(jnp.int32),
+         resolved.astype(jnp.int32)], axis=1)
     return jnp.concatenate([counts.reshape(B, 2 * MS), extras] + hit_cols,
                            axis=1)
 
 
-N_EXTRAS = 15
+N_EXTRAS = 16
 (X_FOUND, X_II, X_SSUM, X_CHAIN, X_CHRP, X_WLOC, X_H00F, X_H00C, X_H00W,
- X_REPLAY, X_TOTAL, X_SOFF, X_COFF, X_OK, X_BIG) = range(N_EXTRAS)
+ X_REPLAY, X_TOTAL, X_SOFF, X_COFF, X_OK, X_BIG, X_RESOLVED) = range(N_EXTRAS)
 
 # lean row bit layout (word 1; word 0 = watson loc), shared with the native
 # formatter (bsmap_native.cpp)
 BIT_FOUND, BIT_CHAIN, BIT_REPLAY, BIT_OK, BIT_BIG, BIT_MULTI = (
     1, 2, 4, 8, 16, 32)
 LEAN_II_SHIFT, LEAN_CHRP_SHIFT = 6, 10
+BIT_RESOLVED = 1 << 26
+
+
+# packed input row: codes | regs | lens | budgets | rand32 | maxrank (one
+# host->device transfer per dispatch instead of six: each transfer is a
+# round trip on remote-attached devices)
+ROW_BYTES = 2 * FIXSIZE + 16
+
+
+def _pack_inputs(codes, regs, lens, buds, rand32, maxrank):
+    """(B, ROW_BYTES) uint8 row-major packing (shardable along reads)."""
+    B = len(lens)
+    buf = np.empty((B, ROW_BYTES), dtype=np.uint8)
+    buf[:, :FIXSIZE] = codes
+    buf[:, FIXSIZE: 2 * FIXSIZE] = regs
+    F2 = 2 * FIXSIZE
+    buf[:, F2: F2 + 4] = lens.astype(np.int32).view(np.uint8).reshape(B, 4)
+    buf[:, F2 + 4: F2 + 8] = buds.astype(np.int32).view(
+        np.uint8).reshape(B, 4)
+    buf[:, F2 + 8: F2 + 12] = rand32.astype(np.uint32).view(
+        np.uint8).reshape(B, 4)
+    buf[:, F2 + 12: F2 + 16] = maxrank.astype(np.int32).view(
+        np.uint8).reshape(B, 4)
+    return buf
+
+
+def _unpack_inputs(packed):
+    F2 = 2 * FIXSIZE
+    codes = packed[:, :FIXSIZE]
+    regs = packed[:, FIXSIZE: F2]
+    lens = jax.lax.bitcast_convert_type(packed[:, F2: F2 + 4], jnp.int32)
+    buds = jax.lax.bitcast_convert_type(packed[:, F2 + 4: F2 + 8], jnp.int32)
+    rand32 = jax.lax.bitcast_convert_type(packed[:, F2 + 8: F2 + 12],
+                                          jnp.uint32)
+    maxrank = jax.lax.bitcast_convert_type(packed[:, F2 + 12: F2 + 16],
+                                           jnp.int32)
+    return codes, regs, lens, buds, rand32, maxrank
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "CANDS"))
 def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, rc_code,
                         rc_n_code, d_catcat, d_anchors, d_sizes, d_rcoff,
-                        d_wlocs, d_clocs, codes, regs, lens, budgets, rand32):
+                        d_wlocs, d_clocs, d_tags, d_sites, d_site_off,
+                        packed):
     """Single-dispatch chunk: schedule + verify fused.  Candidate capacity is
     fixed; reads whose candidates ran past it are detected from the returned
     ok/overflow bits and re-dispatched (or host-replayed when one read
     exceeds it)."""
-    (qw, rw, h, off0, off3, wcnt, cnt, s_off, c_off) = _schedule_impl(
+    codes, regs, lens, budgets, rand32, maxrank = _unpack_inputs(packed)
+    (qw, rw, h, off0, off3, wcnt, cnt, wantv, s_off, c_off) = _schedule_impl(
         cfg, prof_a, d_kmer_tab, rc_code, rc_n_code, codes, regs, lens,
-        budgets)
+        budgets, maxrank)
     return _verify_impl(cfg, CANDS, d_catcat, d_anchors, d_sizes, d_rcoff,
-                        d_wlocs, d_clocs, qw, rw, lens, budgets, rand32, h,
-                        off0, off3, wcnt, cnt, s_off, c_off)
+                        d_wlocs, d_clocs, d_tags, d_sites, d_site_off,
+                        qw, rw, lens, budgets, rand32, maxrank, h,
+                        off0, off3, wcnt, cnt, wantv, s_off, c_off)
 
 
 # ---------------------------------------------------------------------------
@@ -547,9 +717,6 @@ def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, rc_code,
 
 class DeviceEngine:
     def __init__(self, genome: PackedGenome, index: SeedIndex, param: Param):
-        if param.RRBS_flag:
-            raise EngineUnsupported("device engine: RRBS handled by host "
-                                    "engine in this version")
         if param.randseed == 0:
             raise EngineUnsupported("device engine needs -S != 0 "
                                     "(stateless reproducible selection)")
@@ -579,32 +746,60 @@ class DeviceEngine:
             genome.anchors[:genome.n_chr].astype(np.uint32)))
         self.d_sizes = put(jnp.asarray(genome.sizes, dtype=jnp.int32))
         self.d_rcoff = put(jnp.asarray(genome.rc_offsets, dtype=jnp.int32))
-        # per-bucket row [watson_off, total_count, watson_count, crick_off]:
-        # one 16B gather per seed position in the scheduler; Watson and
-        # Crick entries live in separate arrays so each stays < 2^31 long
         tk = index.total_kmers
         counts = np.diff(index.offsets)
-        wc = index.wcounts.astype(np.int64)
-        cc = counts - wc
-        kmer_tab = np.zeros((tk, 4), dtype=np.int32)
-        kmer_tab[:, 1] = counts
-        kmer_tab[:, 2] = wc
-        np.cumsum(wc[:-1], out=kmer_tab[1:, 0])
-        np.cumsum(cc[:-1], out=kmer_tab[1:, 3])
-        self.d_kmer_tab = put(jnp.asarray(kmer_tab))
-        # split locs by strand, preserving in-bucket order (interval-mask
-        # via a +1/-1 diff array: bounded running sum, no Python loop)
-        total = len(index.locs)
-        diff = np.zeros(total + 1, dtype=np.int8)
-        nz = wc > 0
-        np.add.at(diff, index.offsets[:-1][nz], 1)
-        np.add.at(diff, (index.offsets[:-1] + wc)[nz], -1)
-        is_w = np.cumsum(diff[:total], dtype=np.int8) > 0
-        wl = index.locs[is_w]
-        cl = index.locs[~is_w]
         one = np.zeros(1, dtype=np.uint32)      # keep gathers well-defined
-        self.d_wlocs = put(jnp.asarray(wl if len(wl) else one))  # uint32
-        self.d_clocs = put(jnp.asarray(cl if len(cl) else one))
+        if param.RRBS_flag:
+            # RRBS CSR: (tag, chr-local loc) entries; one flat locs array
+            # plus the tag array; digestion sites as global coords for the
+            # fragment filter (dbseq.cpp:541-567)
+            kmer_tab = np.zeros((tk, 4), dtype=np.int32)
+            kmer_tab[:, 0] = index.offsets[:-1]
+            kmer_tab[:, 1] = counts
+            self.d_kmer_tab = put(jnp.asarray(kmer_tab))
+            locs = index.locs if len(index.locs) else one
+            self.d_wlocs = put(jnp.asarray(locs))
+            self.d_clocs = put(jnp.asarray(one))
+            tags = (index.tags.astype(np.int64).astype(np.int32)
+                    if len(index.tags) else one.astype(np.int32))
+            self.d_tags = put(jnp.asarray(tags))
+            site_off = np.zeros(genome.n_chr + 1, dtype=np.int32)
+            np.cumsum([len(s) for s in genome.ccgg_sites], out=site_off[1:])
+            sites_g = (np.concatenate(
+                [s + genome.anchors[c]
+                 for c, s in enumerate(genome.ccgg_sites)])
+                if site_off[-1] else one.astype(np.int64))
+            self.d_sites = put(jnp.asarray(sites_g.astype(np.uint32)))
+            self.d_site_off = put(jnp.asarray(site_off))
+        else:
+            # per-bucket row [watson_off, total_count, watson_count,
+            # crick_off]: one 16B gather per seed position in the
+            # scheduler; Watson and Crick entries live in separate arrays
+            # so each stays < 2^31 long
+            wc = index.wcounts.astype(np.int64)
+            cc = counts - wc
+            kmer_tab = np.zeros((tk, 4), dtype=np.int32)
+            kmer_tab[:, 1] = counts
+            kmer_tab[:, 2] = wc
+            np.cumsum(wc[:-1], out=kmer_tab[1:, 0])
+            np.cumsum(cc[:-1], out=kmer_tab[1:, 3])
+            self.d_kmer_tab = put(jnp.asarray(kmer_tab))
+            # split locs by strand, preserving in-bucket order (interval-
+            # mask via a +1/-1 diff array: bounded running sum, no loop)
+            total = len(index.locs)
+            diff = np.zeros(total + 1, dtype=np.int8)
+            nz = wc > 0
+            np.add.at(diff, index.offsets[:-1][nz], 1)
+            np.add.at(diff, (index.offsets[:-1] + wc)[nz], -1)
+            is_w = np.cumsum(diff[:total], dtype=np.int8) > 0
+            wl = index.locs[is_w]
+            cl = index.locs[~is_w]
+            self.d_wlocs = put(jnp.asarray(wl if len(wl) else one))
+            self.d_clocs = put(jnp.asarray(cl if len(cl) else one))
+            self.d_tags = put(jnp.asarray(one.astype(np.int32)))
+            self.d_sites = put(jnp.asarray(one))
+            self.d_site_off = put(jnp.asarray(
+                np.zeros(genome.n_chr + 1, dtype=np.int32)))
         I = param.index_interval
         self.prof_a = put(jnp.asarray(
             [[param.profile[n][i].a for i in range(I)]
@@ -637,7 +832,11 @@ class DeviceEngine:
         return Cfg(S=S, I=I, maxseg=MS, chains_mode=chains_mode, P=P,
                    max_num_hits=p.max_num_hits,
                    report_repeat_hits=p.report_repeat_hits,
-                   W=self.W, n_chr=self.genome.n_chr, lean=lean)
+                   W=self.W, n_chr=self.genome.n_chr, lean=lean,
+                   rrbs=bool(p.RRBS_flag), min_ins=p.min_insert,
+                   max_ins=p.max_insert,
+                   tail=len(p.digest_site) - 2 * p.digest_pos
+                   if p.RRBS_flag else 0)
 
     def _chains_mode(self, rsets: np.ndarray) -> str:
         if self.param.chains:
@@ -666,8 +865,11 @@ class DeviceEngine:
     def _stale_risk(self, lens: np.ndarray, budgets: np.ndarray) -> np.ndarray:
         """True for reads whose schedule may read stale per-instance state
         (previous reads' seed buffers / start offsets, align.cpp:454-469):
-        max_offset == 0, or any probed / cost position can exceed len - S."""
+        max_offset == 0, or any probed / cost position can exceed len - S.
+        RRBS never reads that state (fixed zero offsets, in-range probes)."""
         p = self.param
+        if p.RRBS_flag:
+            return np.zeros(len(lens), dtype=bool)
         S, I = p.seed_size, p.index_interval
         lens = lens.astype(np.int64)
         max_off = (lens - I + 1) % S
@@ -786,22 +988,24 @@ class DeviceEngine:
         rsets[:] = [batch[i].readset for i in idxs]
         return codes, regs, lens, buds, rsets, ridx
 
-    def _dispatch(self, cfg: Cfg, arrs5):
-        """One async kernel dispatch on padded (B,)-shaped numpy arrays."""
-        c_, r_, l_, b_, rnd = (jnp.asarray(a) for a in arrs5)
+    def _dispatch(self, cfg: Cfg, packed):
+        """One async kernel dispatch on a packed (B, ROW_BYTES) window."""
         return _align_fused_kernel(
             cfg, self.CANDS, self.prof_a, self.d_kmer_tab, self.rc_code,
             self.rc_n_code, self.d_catcat, self.d_anchors, self.d_sizes,
-            self.d_rcoff, self.d_wlocs, self.d_clocs, c_, r_, l_, b_, rnd)
+            self.d_rcoff, self.d_wlocs, self.d_clocs, self.d_tags,
+            self.d_sites, self.d_site_off, jnp.asarray(packed))
 
-    def _pad_window(self, arrs, sel):
-        """Gather rows `sel` of each array, zero-padded up to self.B rows."""
-        out = []
-        B = self.B
-        for a in arrs:
-            pad = np.zeros((B,) + a.shape[1:], dtype=a.dtype)
-            pad[: len(sel)] = a[sel]
-            out.append(pad)
+    def _pad_window(self, arrs, sel, ranks=None):
+        """Pack rows `sel` of (codes, regs, lens, buds, rand32) plus the
+        per-read enumeration rank into one zero-padded (B, ROW_BYTES)
+        transfer buffer."""
+        codes, regs, lens, buds, rand32 = arrs
+        if ranks is None:
+            ranks = np.full(len(lens), self._maxseg - 1, np.int32)
+        out = np.zeros((self.B, ROW_BYTES), dtype=np.uint8)
+        out[: len(sel)] = _pack_inputs(codes[sel], regs[sel], lens[sel],
+                                       buds[sel], rand32[sel], ranks[sel])
         return out
 
     def align_batch(self, batch: list[Read]):
@@ -843,13 +1047,19 @@ class DeviceEngine:
         out_rows = np.zeros((n, width), dtype=np.int32)
         done = np.zeros(n, dtype=bool)
 
+        # progressive-sensitivity escalation: WGBS SE starts at rank 0 (the
+        # cheapest segment usually resolves the read, align.cpp:445-449);
+        # PE/RRBS enumerate every segment in one pass
+        init_rank = MS - 1 if (cfg.pe or cfg.rrbs) else 0
+        cur_rank = np.full(n, init_rank, dtype=np.int32)
         todo = np.arange(n, dtype=np.int64)
         while len(todo):
             # optimistic windows of B reads; all dispatched before collection
             wins = [todo[i: i + self.B] for i in range(0, len(todo), self.B)]
             pend = []
             for sel in wins:
-                out = self._dispatch(cfg, self._pad_window(arrs, sel))
+                out = self._dispatch(cfg, self._pad_window(arrs, sel,
+                                                           cur_rank))
                 try:
                     out.copy_to_host_async()
                 except Exception:
@@ -864,26 +1074,34 @@ class DeviceEngine:
                 if cfg.lean:
                     ok = (rows[:, 1] & BIT_OK) != 0
                     big = (rows[:, 1] & BIT_BIG) != 0
+                    res = (rows[:, 1] & BIT_RESOLVED) != 0
                 else:
                     ok = rows[:, 2 * MS + X_OK] != 0
                     big = rows[:, 2 * MS + X_BIG] != 0
-                out_rows[sel[ok]] = rows[ok]
-                done[sel[ok]] = True
+                    res = rows[:, 2 * MS + X_RESOLVED] != 0
+                fin = ok & res
+                out_rows[sel[fin]] = rows[fin]
+                done[sel[fin]] = True
+                esc = sel[ok & ~res]
+                if len(esc):
+                    cur_rank[esc] += 1       # enumerate one more segment
+                    next_todo.append(esc)
                 bad = sel[~ok]
                 if len(bad):
                     bigbad = sel[~ok & big]
                     for k in bigbad:
                         out_rows[k] = 0
                         if cfg.lean:
-                            out_rows[k, 1] = BIT_REPLAY
+                            out_rows[k, 1] = BIT_REPLAY | BIT_RESOLVED
                         else:
                             out_rows[k, 2 * MS + X_REPLAY] = 1
                         done[k] = True
                     rest = bad[~np.isin(bad, bigbad)]
                     if len(rest):
                         next_todo.append(rest)
-            # each round completes at least the overflow window's head, so
-            # this terminates; re-window the spilled tail and go again
+            # every round either completes reads, escalates their rank
+            # (bounded by maxseg), or re-windows an overflow tail whose head
+            # always fits, so this terminates
             todo = (np.concatenate(next_todo)
                     if next_todo else np.zeros(0, dtype=np.int64))
 

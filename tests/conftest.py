@@ -9,7 +9,7 @@ import os
 # var alone is not enough — update the live config too.)
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("BSMAP_TPU_DEV_BATCH", "2048")
-os.environ.setdefault("BSMAP_TPU_CANDS", "16384")
+os.environ.setdefault("BSMAP_TPU_CANDS_PER_READ", "16")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -77,12 +77,28 @@ def rrbs_data(tmp_path_factory):
     return d
 
 
-def test_rrbs_se_parity(reference_binary, rrbs_data):
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_rrbs_se_parity(reference_binary, rrbs_data, engine):
     base = ["-a", "se.fq", "-d", "rrbs.fa", "-D", "C-CGG",
             "-S", "1", "-v", "2", "-u"]
     run_ref(reference_binary, rrbs_data, base + ["-o", "ref.sam"])
-    run_ours(rrbs_data, base + ["-o", "our.sam"])
+    run_ours(rrbs_data, base + ["-o", "our.sam"], engine=engine)
     assert_same(rrbs_data, "ref.sam", "our.sam")
+
+
+def test_rrbs_se_device_trim_and_bsp(reference_binary, rrbs_data):
+    """Device RRBS with adapter trimming (per-read filter path) and BSP
+    output (full rows incl. histograms + ZP/ZL emitted host-side)."""
+    base = ["-a", "se.fq", "-d", "rrbs.fa", "-D", "C-CGG",
+            "-S", "1", "-v", "2", "-u", "-A", ADAPT]
+    run_ref(reference_binary, rrbs_data, base + ["-o", "reft.sam"])
+    run_ours(rrbs_data, base + ["-o", "ourt.sam"], engine="device")
+    assert_same(rrbs_data, "reft.sam", "ourt.sam")
+    base = ["-a", "se.fq", "-d", "rrbs.fa", "-D", "C-CGG",
+            "-S", "1", "-v", "2", "-u"]
+    run_ref(reference_binary, rrbs_data, base + ["-o", "ref.bsp"])
+    run_ours(rrbs_data, base + ["-o", "our.bsp"], engine="device")
+    assert_same(rrbs_data, "ref.bsp", "our.bsp")
 
 
 def test_rrbs_pe_adapter_parity(reference_binary, rrbs_data):

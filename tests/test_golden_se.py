@@ -19,7 +19,7 @@ def run_ref(binary, workdir, args):
 def run_ours(workdir, args, engine="host"):
     env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
            "JAX_PLATFORMS": "cpu",
-           "BSMAP_TPU_DEV_BATCH": "2048", "BSMAP_TPU_CANDS": "16384",
+           "BSMAP_TPU_DEV_BATCH": "2048", "BSMAP_TPU_CANDS_PER_READ": "16",
            "HOME": "/root"}
     r = subprocess.run([sys.executable, "-m", "bsmap_tpu.cli"] + args
                        + ["--engine", engine],

@@ -45,22 +45,24 @@ def main():
     cfg = eng._cfg("f")
     CANDS = eng.CANDS
     sel = np.arange(min(len(live_idx), eng.B))
-    c_, r_, l_, b_, rnd = (jnp.asarray(a) for a in eng._pad_window(
-        (codes, regs, lens, buds, rand32), sel))
+    packed = eng._pad_window((codes, regs, lens, buds, rand32), sel)
+    c_, r_, l_, b_, rnd, mrk = (jnp.asarray(a) for a in de._unpack_inputs(
+        jnp.asarray(packed)))
 
     def stage1_only(prof_a, d_kmer_tab, rc_code, rc_n_code, codes, regs,
-                    lens, budgets):
+                    lens, budgets, maxrank):
         outs = de._schedule_impl(cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
-                                 codes, regs, lens, budgets)
+                                 codes, regs, lens, budgets, maxrank)
         return sum(o.sum().astype(jnp.uint32) if o.dtype != jnp.uint32
                    else o.sum() for o in outs[2:])
 
     def upto_wmm(prof_a, d_kmer_tab, rc_code, rc_n_code, d_catcat, d_anchors,
                  d_sizes, d_rcoff, d_wlocs, d_clocs, codes, regs, lens,
-                 budgets, rand32):
-        (qw, rw, h, off0, off3, wcnt, cnt, s_off, c_off) = de._schedule_impl(
+                 budgets, rand32, maxrank):
+        (qw, rw, h, off0, off3, wcnt, cnt, wantv, s_off,
+         c_off) = de._schedule_impl(
             cfg, prof_a, d_kmer_tab, rc_code, rc_n_code, codes, regs, lens,
-            budgets)
+            budgets, maxrank)
         B = qw.shape[0]
         W, NB, nch, I, MS = cfg.W, cfg.NB, cfg.nch, cfg.I, cfg.maxseg
         sidx = jnp.arange(CANDS, dtype=jnp.int32)
@@ -107,10 +109,10 @@ def main():
         return wmm.sum() + total_all
 
     args1 = (eng.prof_a, eng.d_kmer_tab, eng.rc_code, eng.rc_n_code,
-             c_, r_, l_, b_)
+             c_, r_, l_, b_, mrk)
     args2 = (eng.prof_a, eng.d_kmer_tab, eng.rc_code, eng.rc_n_code,
              eng.d_catcat, eng.d_anchors, eng.d_sizes, eng.d_rcoff,
-             eng.d_wlocs, eng.d_clocs, c_, r_, l_, b_, rnd)
+             eng.d_wlocs, eng.d_clocs, c_, r_, l_, b_, rnd, mrk)
 
     for name, fn, args in [("stage1", jax.jit(stage1_only), args1),
                            ("upto_wmm", jax.jit(upto_wmm), args2)]:

@@ -16,9 +16,31 @@ for a, b in zip(b"ACGT", b"TGCA"):
     COMP[a] = b
 
 
-def make_genome(seed: int, n_chr: int, chr_len: int):
+def make_genome(seed: int, n_chr: int, chr_len: int,
+                repeat_frac: float = 0.0, repeat_unit: int = 300,
+                repeat_mut: float = 0.02):
+    """Random genome; with repeat_frac > 0, that fraction of each
+    chromosome is pasted-in copies of a small repeat library (2% mutated),
+    producing the power-law seed-bucket sizes of real genomes (the hard
+    case for candidate capacity, SURVEY.md section 7)."""
     rng = np.random.RandomState(seed)
-    return [BASES[rng.randint(0, 4, size=chr_len)] for _ in range(n_chr)]
+    lib = [BASES[rng.randint(0, 4, size=repeat_unit)] for _ in range(16)]
+    out = []
+    for _ in range(n_chr):
+        c = BASES[rng.randint(0, 4, size=chr_len)]
+        if repeat_frac > 0:
+            n_copies = int(chr_len * repeat_frac / repeat_unit)
+            pos = rng.randint(0, chr_len - repeat_unit, size=n_copies)
+            which = rng.randint(0, len(lib), size=n_copies)
+            for p, w in zip(pos, which):
+                unit = lib[w].copy()
+                nmut = rng.binomial(repeat_unit, repeat_mut)
+                if nmut:
+                    mi = rng.randint(0, repeat_unit, size=nmut)
+                    unit[mi] = BASES[rng.randint(0, 4, size=nmut)]
+                c[p: p + repeat_unit] = unit
+        out.append(c)
+    return out
 
 
 def write_genome(path: str, chrs) -> None:
@@ -63,20 +85,30 @@ def write_fastq(path: str, reads: np.ndarray) -> None:
 
 def generate(out_dir: str, seed: int = 7, n_chr: int = 2,
              chr_len: int = 5_000_000, n_reads: int = 200_000,
-             read_len: int = 100):
+             read_len: int = 100, repeat_frac: float = 0.0,
+             tag: str = ""):
     import os
     os.makedirs(out_dir, exist_ok=True)
-    gpath = os.path.join(out_dir, "genome.fa")
-    rpath = os.path.join(out_dir, "reads.fq")
+    gpath = os.path.join(out_dir, f"genome{tag}.fa")
+    rpath = os.path.join(out_dir, f"reads{tag}.fq")
     stamp = os.path.join(
-        out_dir, f"gen_{seed}_{n_chr}_{chr_len}_{n_reads}_{read_len}.ok")
+        out_dir, f"gen{tag}_{seed}_{n_chr}_{chr_len}_{n_reads}_{read_len}"
+        f"_{repeat_frac}.ok")
     if os.path.exists(stamp):
         return gpath, rpath
-    chrs = make_genome(seed, n_chr, chr_len)
+    chrs = make_genome(seed, n_chr, chr_len, repeat_frac=repeat_frac)
     write_genome(gpath, chrs)
     write_fastq(rpath, make_reads(seed, chrs, n_reads, read_len))
     open(stamp, "w").close()
     return gpath, rpath
+
+
+def generate_chr21(out_dir: str, n_reads: int = 1_000_000):
+    """BASELINE config 4 class: one 46.7 Mb chromosome with 8% repeat
+    content (power-law seed buckets), 100nt fully-converted reads."""
+    return generate(out_dir, seed=21, n_chr=1, chr_len=46_700_000,
+                    n_reads=n_reads, read_len=100, repeat_frac=0.08,
+                    tag="_chr21")
 
 
 if __name__ == "__main__":
