@@ -95,29 +95,49 @@ class BlockReadStream:
                 self._tail = chunk[pos + 1:]
 
     def next_block(self, n: int) -> ReadBlock | None:
+        """Incremental tokenization: each chunk is parsed once from the
+        position after the last complete record (re-parsing only the
+        incomplete tail), so block cost is linear in block size — the
+        earlier parse-whole-buffer-per-chunk loop was quadratic and
+        dominated the 1M-read block path."""
         from . import native
         p = self.param
         remaining = p.read_end - self.index
         if remaining <= 0:
             return None
         n = min(n, remaining)
+        acc = bytearray(self._tail)
+        base = 0                      # parse position (after last record)
+        recs = []
+        total = 0
         while True:
-            buf = self._tail
+            tail = bytes(acc[base:]) if base else bytes(acc)
             rec, consumed = native.parse_reads(
-                self.lib, buf, self._eof, self.fmt == 1, p.max_readlen, n)
-            if len(rec) == n or self._eof:
+                self.lib, tail, self._eof, self.fmt == 1, p.max_readlen,
+                n - total)
+            if len(rec):
+                rec[:, 0] += base
+                rec[:, 2] += base
+                rec[:, 4][rec[:, 4] >= 0] += base
+                recs.append(rec)
+                total += len(rec)
+                base += consumed
+            if total == n or self._eof:
                 break
             chunk = self._fh.read(CHUNK)
             if not chunk:
-                self._eof = True      # reparse with is_final=True
+                self._eof = True      # reparse the tail with is_final=True
             else:
-                self._tail = buf + chunk
-        if len(rec) == 0:
+                acc += chunk
+        if total == 0:
+            self._tail = b""
             return None
-        self._tail = buf[consumed:]
+        buf = bytes(acc)
+        self._tail = buf[base:]
+        rec = recs[0] if len(recs) == 1 else np.concatenate(recs)
         blk = ReadBlock(buf, rec, self.index, self.readset, self.fmt == 1,
                         p.zero_qual + p.default_qual)
-        self.index += len(rec)
+        self.index += total
         return blk
 
     def close(self) -> None:

@@ -351,12 +351,14 @@ def run_single_end_blocks(o: Options, engine, fmt, genome, timer,
     p = o.param
     lib = native.get_lib()
     stream = BlockReadStream(o.query_a, p, readset=0, lib=lib)
-    # 16 dispatch windows per block: _align_arrays enqueues every window
-    # before collecting, so device round-trip latency (the dominant cost on
-    # remote-attached chips) amortizes across the whole block
-    blk_n = 16 * getattr(engine, "B", BATCH_NUM)
-    q_in: "queue.Queue" = queue.Queue(maxsize=4)
-    q_out: "queue.Queue" = queue.Queue(maxsize=8)
+    # 4 dispatch windows per block: windows within a block pipeline on the
+    # device while the producer thread parses the next block and the writer
+    # thread formats the previous one (the native format call releases the
+    # GIL) — three-stage pipeline over the reference's C18 thread runtime
+    blk_win = int(os.environ.get("BSMAP_TPU_BLOCK_WINDOWS", 4))
+    blk_n = blk_win * getattr(engine, "B", BATCH_NUM)
+    q_in: "queue.Queue" = queue.Queue(maxsize=2)
+    q_out: "queue.Queue" = queue.Queue(maxsize=4)
 
     def producer():
         while True:
@@ -370,10 +372,11 @@ def run_single_end_blocks(o: Options, engine, fmt, genome, timer,
             if p.out_sam and header:
                 fout.write(sam_header(genome).encode("latin1"))
             while True:
-                data = q_out.get()
-                if data is None:
+                item = q_out.get()
+                if item is None:
                     break
-                fout.write(data)
+                blk, aligned = item
+                fout.write(engine.format_aligned_block(blk, aligned, fmt))
 
     t_prod = threading.Thread(target=producer, daemon=True)
     t_wr = threading.Thread(target=writer, daemon=True)
@@ -385,7 +388,7 @@ def run_single_end_blocks(o: Options, engine, fmt, genome, timer,
             blk = q_in.get()
             if blk is None:
                 break
-            q_out.put(engine.format_block(blk, fmt))
+            q_out.put((blk, engine.align_block(blk)))
             total += len(blk)
             print(f"{total} reads finished. {timer.total():.1f} secs passed")
     finally:

@@ -71,13 +71,22 @@ from ..utils import myrand_hash
 from .host_engine import HostEngine, MateState, SEResult
 
 import os as _os
+import time as _time
 
 # reads per device dispatch / candidates per read of dispatch capacity
 # (fixed shapes: one compiled program); env-overridable so CPU test runs can
 # use small, fast-to-compile shapes.  Sized large: per-dispatch round-trip
 # latency to the device dominates at small windows.
+#
+# CANDS_PER_READ is deliberately small: kernel time is ~linear in the
+# candidate capacity (measured r3: B=65536 full kernel 668 ms at 16x vs
+# 225 ms at 2x), and the mean per-read demand is <<2 on real batches.  Reads
+# whose candidates overflow re-window (head always fits); single reads
+# exceeding the whole capacity escalate to a lazily-compiled
+# CANDS_BIG_PER_READ-sized program before the exact host replay.
 DEV_BATCH = int(_os.environ.get("BSMAP_TPU_DEV_BATCH", 65536))
-CANDS_PER_READ = int(_os.environ.get("BSMAP_TPU_CANDS_PER_READ", 16))
+CANDS_PER_READ = int(_os.environ.get("BSMAP_TPU_CANDS_PER_READ", 2))
+CANDS_BIG_PER_READ = int(_os.environ.get("BSMAP_TPU_CANDS_BIG_PER_READ", 16))
 BIGLEVEL = 99
 SATLIM = np.uint32(1 << 30)    # saturating-cumsum fixed point (overflow guard)
 
@@ -110,6 +119,9 @@ class Cfg(NamedTuple):
     min_ins: int = 0       # RRBS fragment-length window (-m/-x)
     max_ins: int = 0
     tail: int = 0          # len(digest_site) - 2*digest_pos
+    rc: tuple = (3, 2, 1, 0)   # 2-bit complement permutation (rc_code);
+                               # static so the RC chain is pure lane math
+    rc_n: int = 3          # rev_alphabet['N'] code for RC-chain N lanes
 
     @property
     def nch(self) -> int:
@@ -153,48 +165,101 @@ def _satadd_scan(x):
 # stage 1: read-axis pack + seed schedule
 # ---------------------------------------------------------------------------
 
-def _pack(codes):
-    """(B, FIXSIZE) uint8 codes -> (B, FIXELEMENT) uint32, first base in the
-    top bits of each word (dbseq.cpp:71-75 layout)."""
-    B = codes.shape[0]
-    lanes = codes.reshape(B, FIXELEMENT, SEGLEN).astype(jnp.uint32)
-    shifts = jnp.arange(SEGLEN - 1, -1, -1, dtype=jnp.uint32) * 2
-    return (lanes << shifts[None, None, :]).sum(axis=-1).astype(jnp.uint32)
-
-
-def _seed_array(codes, S, P):
-    """Base-3 collapsed seed value at every read offset (align.cpp:97-105)."""
-    col = jnp.where(codes == 3, jnp.uint8(1), codes).astype(jnp.int32)
-    acc = jnp.zeros(codes.shape[:1] + (P,), dtype=jnp.int32)
-    for k in range(S):
-        acc = acc * 3 + col[:, k: k + P]
+def _seed_array_w(qw, S, P):
+    """Base-3 collapsed seed value at every read offset (align.cpp:97-105),
+    computed from the 2-bit packed words: static funnel-shift window per
+    offset, T(11)->C(01) lane collapse, then base-3 accumulation of the top
+    S lanes."""
+    B, F = qw.shape
+    qwp = jnp.concatenate([qw, jnp.zeros((B, 1), jnp.uint32)], axis=1)
+    wins = []
+    for pos in range(P):
+        k, zz = pos >> 4, (pos & 15) * 2
+        w = qwp[:, k] if zz == 0 else \
+            (qwp[:, k] << jnp.uint32(zz)) | (qwp[:, k + 1] >>
+                                             jnp.uint32(32 - zz))
+        wins.append(w)
+    w = jnp.stack(wins, axis=1)                             # (B, P)
+    t = w & (w >> jnp.uint32(1)) & jnp.uint32(0x55555555)   # lanes == 11
+    cw = w ^ (t << jnp.uint32(1))                           # T -> C (01)
+    acc = jnp.zeros((B, P), dtype=jnp.int32)
+    for j in range(S):
+        acc = acc * 3 + ((cw >> jnp.uint32(2 * (15 - j)))
+                         & jnp.uint32(3)).astype(jnp.int32)
     return acc
 
 
+def _len_mask_words(lens, F):
+    """(B, F) uint32 masks: 11 in lanes < len, 00 beyond."""
+    j = jnp.arange(F, dtype=jnp.int32)[None, :]
+    v = jnp.clip(lens[:, None] - 16 * j, 0, 16)
+    sh = (2 * (16 - v)).astype(jnp.uint32)
+    return jnp.where(v > 0,
+                     jnp.uint32(0xFFFFFFFF) << jnp.minimum(sh, jnp.uint32(30)),
+                     jnp.uint32(0))
+
+
+def _rc_words(cfg: Cfg, qw, rw, lens):
+    """Reverse-complement chain as packed words (ConvertBinaySeq
+    align.cpp:131-161): per-lane complement via the static rc permutation,
+    2-bit-group reversal within words, word-order reversal, then a per-read
+    funnel shift left by (FIXSIZE - len) bases.  N lanes (reg 00 within the
+    read) are forced to rev_alphabet['N'] so RC-chain seed values match the
+    reference's cseq."""
+    B, F = qw.shape
+    if tuple(cfg.rc) == (3, 2, 1, 0):
+        comp = ~qw
+    else:
+        comp = jnp.zeros_like(qw)
+        for v in range(4):
+            if cfg.rc[v] == 0:
+                continue
+            x = qw ^ jnp.uint32(v * 0x55555555)
+            ind = ~(x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
+            comp = comp | ind * jnp.uint32(cfg.rc[v])
+
+    def rev_lanes(w):
+        M33, M0F = jnp.uint32(0x33333333), jnp.uint32(0x0F0F0F0F)
+        MFF = jnp.uint32(0x00FF00FF)
+        w = ((w & M33) << jnp.uint32(2)) | ((w >> jnp.uint32(2)) & M33)
+        w = ((w & M0F) << jnp.uint32(4)) | ((w >> jnp.uint32(4)) & M0F)
+        w = ((w & MFF) << jnp.uint32(8)) | ((w >> jnp.uint32(8)) & MFF)
+        return (w << jnp.uint32(16)) | (w >> jnp.uint32(16))
+
+    zpad = jnp.zeros((B, F), jnp.uint32)
+    rcp = jnp.concatenate([rev_lanes(comp)[:, ::-1], zpad], axis=1)
+    rrp = jnp.concatenate([rev_lanes(rw)[:, ::-1], zpad], axis=1)
+    sh = (FIXSIZE - lens).astype(jnp.int32)
+    k0 = sh >> 4
+    z = ((sh & 15) * 2).astype(jnp.uint32)[:, None]
+    idx = k0[:, None] + jnp.arange(F, dtype=jnp.int32)[None, :]
+
+    def funnel(tab):
+        a = _taa(tab, idx)
+        b = _taa(tab, idx + 1)
+        bs = b >> (jnp.uint32(32) - jnp.maximum(z, jnp.uint32(1)))
+        return jnp.where(z == 0, a, (a << z) | bs)
+
+    cqw0 = funnel(rcp)
+    crw = funnel(rrp)
+    npat = jnp.uint32((cfg.rc_n * 0x55555555) & 0xFFFFFFFF)
+    cqw = (cqw0 & crw) | (npat & _len_mask_words(lens, F) & ~crw)
+    return cqw, crw
+
+
 def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
-                   codes, regs, lens, budgets, maxrank):
-    B = codes.shape[0]
+                   qw0, rw0, lens, budgets, maxrank):
+    B = qw0.shape[0]
     S, I, P, MS = cfg.S, cfg.I, cfg.P, cfg.maxseg
 
     chains = []
     if cfg.chains_mode in ("f", "b"):
-        chains.append((codes, regs))
+        chains.append((qw0, rw0))
     if cfg.chains_mode in ("r", "b"):
-        # reverse-complement chain (ConvertBinaySeq align.cpp:131-161)
-        pos = jnp.arange(FIXSIZE, dtype=jnp.int32)
-        src = lens[:, None] - 1 - pos[None, :]
-        src_c = jnp.clip(src, 0, FIXSIZE - 1)
-        g_codes = _taa(codes, src_c)
-        g_regs = _taa(regs, src_c)
-        in_rng = src >= 0
-        ccodes = jnp.where(in_rng & (g_regs > 0), _g1(rc_code, g_codes),
-                           jnp.where(in_rng, rc_n_code.astype(jnp.uint8),
-                                     jnp.uint8(0)))
-        cregs = jnp.where(in_rng, g_regs, jnp.uint8(0))
-        chains.append((ccodes, cregs))
+        chains.append(_rc_words(cfg, qw0, rw0, lens))
 
-    qw = jnp.stack([_pack(c) for c, _ in chains], axis=1)   # (B, nch, 10)
-    rw = jnp.stack([_pack(r) for _, r in chains], axis=1)
+    qw = jnp.stack([c for c, _ in chains], axis=1)          # (B, nch, 10)
+    rw = jnp.stack([r for _, r in chains], axis=1)
 
     seedseg = jnp.clip(jnp.minimum((lens - I + 1) // S, budgets + 1), 0, MS)
     max_off = (lens - I + 1) % S
@@ -203,8 +268,8 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
     off_i = jnp.arange(S, dtype=jnp.int32)
     BIGU = jnp.uint32(0xFFFFFFFF)
 
-    def chain_schedule(ccodes, koff):
-        sarr = _seed_array(ccodes, S, P)            # (B, P) int32
+    def chain_schedule(cwords, koff):
+        sarr = _seed_array_w(cwords, S, P)          # (B, P) int32
         # per-position bucket rows: the only random-access gather of stage 1.
         # row = [watson_off, total_count, watson_count, crick_off]
         rows = _rowg(d_kmer_tab, sarr)              # (B, P, 4) int32
@@ -656,40 +721,48 @@ LEAN_II_SHIFT, LEAN_CHRP_SHIFT = 6, 10
 BIT_RESOLVED = 1 << 26
 
 
-# packed input row: codes | regs | lens | budgets | rand32 | maxrank (one
-# host->device transfer per dispatch instead of six: each transfer is a
-# round trip on remote-attached devices)
-ROW_BYTES = 2 * FIXSIZE + 16
+# packed input row (one H2D transfer per dispatch): int32 columns
+# [qwords (2-bit packed read, FIXELEMENT) | rwords (valid-mask lanes) |
+#  len | budget | rand32 | maxrank] — 96 B/read at FIXELEMENT=10, and the
+# words are already in the layout the verify stage consumes (no device-side
+# per-base unpack or repack).
+ROW_I32 = 2 * FIXELEMENT + 4
+ROW_BYTES = 4 * ROW_I32
+SC_LEN, SC_BUD, SC_RAND, SC_RANK = (2 * FIXELEMENT, 2 * FIXELEMENT + 1,
+                                    2 * FIXELEMENT + 2, 2 * FIXELEMENT + 3)
+
+
+def pack_words_np(codes_or_regs: np.ndarray) -> np.ndarray:
+    """(B, FIXSIZE) uint8 -> (B, FIXELEMENT) uint32 words, first base in the
+    top bits of each word (dbseq.cpp:71-75 layout)."""
+    B = codes_or_regs.shape[0]
+    lanes = codes_or_regs.reshape(B, FIXELEMENT, SEGLEN).astype(np.uint32)
+    shifts = (np.arange(SEGLEN - 1, -1, -1, dtype=np.uint32) * 2)
+    return (lanes << shifts[None, None, :]).sum(axis=-1, dtype=np.uint32)
 
 
 def _pack_inputs(codes, regs, lens, buds, rand32, maxrank):
-    """(B, ROW_BYTES) uint8 row-major packing (shardable along reads)."""
+    """(B, ROW_I32) int32 dispatch rows from per-base codes/regs."""
     B = len(lens)
-    buf = np.empty((B, ROW_BYTES), dtype=np.uint8)
-    buf[:, :FIXSIZE] = codes
-    buf[:, FIXSIZE: 2 * FIXSIZE] = regs
-    F2 = 2 * FIXSIZE
-    buf[:, F2: F2 + 4] = lens.astype(np.int32).view(np.uint8).reshape(B, 4)
-    buf[:, F2 + 4: F2 + 8] = buds.astype(np.int32).view(
-        np.uint8).reshape(B, 4)
-    buf[:, F2 + 8: F2 + 12] = rand32.astype(np.uint32).view(
-        np.uint8).reshape(B, 4)
-    buf[:, F2 + 12: F2 + 16] = maxrank.astype(np.int32).view(
-        np.uint8).reshape(B, 4)
+    buf = np.empty((B, ROW_I32), dtype=np.int32)
+    buf[:, :FIXELEMENT] = pack_words_np(codes).view(np.int32)
+    buf[:, FIXELEMENT: 2 * FIXELEMENT] = pack_words_np(regs).view(np.int32)
+    buf[:, SC_LEN] = lens
+    buf[:, SC_BUD] = buds
+    buf[:, SC_RAND] = rand32.astype(np.uint32).view(np.int32)
+    buf[:, SC_RANK] = maxrank
     return buf
 
 
 def _unpack_inputs(packed):
-    F2 = 2 * FIXSIZE
-    codes = packed[:, :FIXSIZE]
-    regs = packed[:, FIXSIZE: F2]
-    lens = jax.lax.bitcast_convert_type(packed[:, F2: F2 + 4], jnp.int32)
-    buds = jax.lax.bitcast_convert_type(packed[:, F2 + 4: F2 + 8], jnp.int32)
-    rand32 = jax.lax.bitcast_convert_type(packed[:, F2 + 8: F2 + 12],
-                                          jnp.uint32)
-    maxrank = jax.lax.bitcast_convert_type(packed[:, F2 + 12: F2 + 16],
-                                           jnp.int32)
-    return codes, regs, lens, buds, rand32, maxrank
+    qw = jax.lax.bitcast_convert_type(packed[:, :FIXELEMENT], jnp.uint32)
+    rw = jax.lax.bitcast_convert_type(packed[:, FIXELEMENT: 2 * FIXELEMENT],
+                                      jnp.uint32)
+    lens = packed[:, SC_LEN]
+    buds = packed[:, SC_BUD]
+    rand32 = jax.lax.bitcast_convert_type(packed[:, SC_RAND], jnp.uint32)
+    maxrank = packed[:, SC_RANK]
+    return qw, rw, lens, buds, rand32, maxrank
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "CANDS"))
@@ -701,9 +774,9 @@ def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, rc_code,
     fixed; reads whose candidates ran past it are detected from the returned
     ok/overflow bits and re-dispatched (or host-replayed when one read
     exceeds it)."""
-    codes, regs, lens, budgets, rand32, maxrank = _unpack_inputs(packed)
+    qw0, rw0, lens, budgets, rand32, maxrank = _unpack_inputs(packed)
     (qw, rw, h, off0, off3, wcnt, cnt, wantv, s_off, c_off) = _schedule_impl(
-        cfg, prof_a, d_kmer_tab, rc_code, rc_n_code, codes, regs, lens,
+        cfg, prof_a, d_kmer_tab, rc_code, rc_n_code, qw0, rw0, lens,
         budgets, maxrank)
     return _verify_impl(cfg, CANDS, d_catcat, d_anchors, d_sizes, d_rcoff,
                         d_wlocs, d_clocs, d_tags, d_sites, d_site_off,
@@ -809,10 +882,19 @@ class DeviceEngine:
         self.rc_code = put(jnp.asarray(rc, dtype=jnp.uint8))
         self.rc_n_code = put(jnp.asarray(int(param.rev_alphabet[ord("N")]),
                                          dtype=jnp.uint8))
+        self._rc_tuple = tuple(rc)
+        self._rc_n_int = int(param.rev_alphabet[ord("N")])
         self.B = DEV_BATCH             # reads per device dispatch
         self.CANDS = CANDS_PER_READ * self.B
+        self.CANDS_BIG = max(CANDS_BIG_PER_READ * self.B, self.CANDS)
         self.n_filtered = 0
         self.n_replayed = 0
+        self.n_dispatched = 0
+        # wall-clock phase accumulators (printed by bench tooling): enqueue
+        # = host side of dispatch (pad + transfer enqueue), collect = wait
+        # for device rows
+        self.t_enqueue = 0.0
+        self.t_collect = 0.0
         # MateState bookkeeping for stale-schedule reads (see module
         # docstring); lazily reconstructed from spans of device-handled reads
         self._maxseg = min(MAXSNPS, param.max_snp_num) + 1
@@ -836,7 +918,8 @@ class DeviceEngine:
                    rrbs=bool(p.RRBS_flag), min_ins=p.min_insert,
                    max_ins=p.max_insert,
                    tail=len(p.digest_site) - 2 * p.digest_pos
-                   if p.RRBS_flag else 0)
+                   if p.RRBS_flag else 0,
+                   rc=self._rc_tuple, rc_n=self._rc_n_int)
 
     def _chains_mode(self, rsets: np.ndarray) -> str:
         if self.param.chains:
@@ -871,12 +954,12 @@ class DeviceEngine:
         if p.RRBS_flag:
             return np.zeros(len(lens), dtype=bool)
         S, I = p.seed_size, p.index_interval
-        lens = lens.astype(np.int64)
+        lens = np.ascontiguousarray(lens, dtype=np.int32)
         max_off = (lens - I + 1) % S
         seedseg = np.clip(np.minimum((lens - I + 1) // S, budgets + 1),
                           0, self._maxseg)
         amax = np.array([self._probe_amax(int(m))
-                         for m in range(self._maxseg + 1)], dtype=np.int64)
+                         for m in range(self._maxseg + 1)], dtype=np.int32)
         probe_max = amax[seedseg] + max_off
         cost_max = (seedseg - 1) * S + max_off + I - 1
         reach = np.maximum(probe_max, cost_max)
@@ -988,22 +1071,36 @@ class DeviceEngine:
         rsets[:] = [batch[i].readset for i in idxs]
         return codes, regs, lens, buds, rsets, ridx
 
-    def _dispatch(self, cfg: Cfg, packed):
-        """One async kernel dispatch on a packed (B, ROW_BYTES) window."""
+    def _dispatch(self, cfg: Cfg, packed, cands: int | None = None):
+        """One async kernel dispatch on a packed (B, ROW_I32) window."""
         return _align_fused_kernel(
-            cfg, self.CANDS, self.prof_a, self.d_kmer_tab, self.rc_code,
+            cfg, self.CANDS if cands is None else cands, self.prof_a,
+            self.d_kmer_tab, self.rc_code,
             self.rc_n_code, self.d_catcat, self.d_anchors, self.d_sizes,
             self.d_rcoff, self.d_wlocs, self.d_clocs, self.d_tags,
             self.d_sites, self.d_site_off, jnp.asarray(packed))
 
+    def _pad_rows(self, rows, sel, ranks=None):
+        """Zero-padded (B, ROW_I32) window of dispatch rows `sel`, with the
+        per-read enumeration rank written into the maxrank column."""
+        m = len(sel)
+        out = np.zeros((self.B, ROW_I32), dtype=np.int32)
+        s0 = int(sel[0]) if m else 0
+        if m and int(sel[-1]) - s0 + 1 == m:
+            out[:m] = rows[s0: s0 + m]          # contiguous: slice copy
+        else:
+            np.take(rows, sel, axis=0, out=out[:m])
+        out[:m, SC_RANK] = (self._maxseg - 1 if ranks is None
+                            else ranks[sel])
+        return out
+
     def _pad_window(self, arrs, sel, ranks=None):
-        """Pack rows `sel` of (codes, regs, lens, buds, rand32) plus the
-        per-read enumeration rank into one zero-padded (B, ROW_BYTES)
-        transfer buffer."""
+        """Compat wrapper over per-base arrays (codes, regs, lens, buds,
+        rand32): pack rows `sel` into one zero-padded transfer buffer."""
         codes, regs, lens, buds, rand32 = arrs
         if ranks is None:
             ranks = np.full(len(lens), self._maxseg - 1, np.int32)
-        out = np.zeros((self.B, ROW_BYTES), dtype=np.uint8)
+        out = np.zeros((self.B, ROW_I32), dtype=np.int32)
         out[: len(sel)] = _pack_inputs(codes[sel], regs[sel], lens[sel],
                                        buds[sel], rand32[sel], ranks[sel])
         return out
@@ -1018,9 +1115,10 @@ class DeviceEngine:
             batch, live_idx, budgets)
         rand32 = myrand_hash(ridx, self.param.randseed)
         cfg = self._cfg(self._chains_mode(rsets))
+        rows = _pack_inputs(codes, regs, lens, buds, rand32,
+                            np.zeros(n, np.int32))
         out_rows, replays = self._align_arrays(
-            cfg, codes, regs, lens, buds, rand32,
-            lambda t: batch[live_idx[t]])
+            cfg, rows, lambda t: batch[live_idx[t]])
         for t, res in replays.items():
             results[live_idx[t]] = res
         MS = cfg.maxseg
@@ -1030,16 +1128,19 @@ class DeviceEngine:
                                                   int(buds[t]))
         return results
 
-    def _align_arrays(self, cfg: Cfg, codes, regs, lens, buds, rand32,
-                      read_of):
+    def _align_arrays(self, cfg: Cfg, rows, read_of, risk=None):
         """Core orchestration over pre-encoded live reads: windowed
-        optimistic dispatches, overflow retry, exact host replay with
-        MateState maintenance.  ``read_of(t)`` lazily materializes live row
-        t as a Read (only replays and state syncs need it).  Returns
+        optimistic dispatches, overflow retry with candidate-capacity
+        escalation, exact host replay with MateState maintenance.  ``rows``
+        is the (n, ROW_I32) dispatch buffer (maxrank column ignored);
+        ``read_of(t)`` lazily materializes live row t as a Read (only
+        replays and state syncs need it).  Returns
         (out_rows, {row: SEResult for replayed rows})."""
+        lens = rows[:, SC_LEN]
+        buds = rows[:, SC_BUD]
         n = len(lens)
-        risk = self._stale_risk(lens, buds)
-        arrs = (codes, regs, lens, buds, rand32)
+        if risk is None:
+            risk = self._stale_risk(lens, buds)
 
         # results come back as packed int32 rows, one per live read
         MS = cfg.maxseg
@@ -1052,35 +1153,47 @@ class DeviceEngine:
         # PE/RRBS enumerate every segment in one pass
         init_rank = MS - 1 if (cfg.pe or cfg.rrbs) else 0
         cur_rank = np.full(n, init_rank, dtype=np.int32)
+        # candidate-capacity tier per read: 0 = CANDS, 1 = CANDS_BIG (only
+        # compiled when a single read's candidates exceed the small shape)
+        tier = np.zeros(n, dtype=np.uint8)
         todo = np.arange(n, dtype=np.int64)
         while len(todo):
             # optimistic windows of B reads; all dispatched before collection
-            wins = [todo[i: i + self.B] for i in range(0, len(todo), self.B)]
             pend = []
-            for sel in wins:
-                out = self._dispatch(cfg, self._pad_window(arrs, sel,
-                                                           cur_rank))
-                try:
-                    out.copy_to_host_async()
-                except Exception:
-                    pass
-                pend.append((sel, out))
+            t0 = _time.time()
+            for tr in (0, 1):
+                sub = todo[tier[todo] == tr]
+                cap = self.CANDS if tr == 0 else self.CANDS_BIG
+                for i in range(0, len(sub), self.B):
+                    sel = sub[i: i + self.B]
+                    out = self._dispatch(cfg, self._pad_rows(rows, sel,
+                                                             cur_rank), cap)
+                    try:
+                        out.copy_to_host_async()
+                    except Exception:
+                        pass
+                    pend.append((sel, out, cap))
+                    self.n_dispatched += 1
+            self.t_enqueue += _time.time() - t0
             next_todo = []
-            for sel, out in pend:
-                rows = np.asarray(out)[: len(sel)]
+            for sel, out, cap in pend:
+                t0 = _time.time()
+                orows = np.asarray(out)[: len(sel)]
+                self.t_collect += _time.time() - t0
                 # a read's result is exact iff its whole candidate range fit
                 # in the dispatch capacity (ok bit, computed on device); a
-                # read that alone exceeds capacity (big bit) is host-replayed
+                # read that alone exceeds capacity (big bit) escalates to
+                # the big shape, then to exact host replay
                 if cfg.lean:
-                    ok = (rows[:, 1] & BIT_OK) != 0
-                    big = (rows[:, 1] & BIT_BIG) != 0
-                    res = (rows[:, 1] & BIT_RESOLVED) != 0
+                    ok = (orows[:, 1] & BIT_OK) != 0
+                    big = (orows[:, 1] & BIT_BIG) != 0
+                    res = (orows[:, 1] & BIT_RESOLVED) != 0
                 else:
-                    ok = rows[:, 2 * MS + X_OK] != 0
-                    big = rows[:, 2 * MS + X_BIG] != 0
-                    res = rows[:, 2 * MS + X_RESOLVED] != 0
+                    ok = orows[:, 2 * MS + X_OK] != 0
+                    big = orows[:, 2 * MS + X_BIG] != 0
+                    res = orows[:, 2 * MS + X_RESOLVED] != 0
                 fin = ok & res
-                out_rows[sel[fin]] = rows[fin]
+                out_rows[sel[fin]] = orows[fin]
                 done[sel[fin]] = True
                 esc = sel[ok & ~res]
                 if len(esc):
@@ -1089,7 +1202,12 @@ class DeviceEngine:
                 bad = sel[~ok]
                 if len(bad):
                     bigbad = sel[~ok & big]
-                    for k in bigbad:
+                    grow = bigbad[(tier[bigbad] == 0)
+                                  & (self.CANDS_BIG > cap)]
+                    if len(grow):
+                        tier[grow] = 1
+                        next_todo.append(grow)
+                    for k in bigbad[~np.isin(bigbad, grow)]:
                         out_rows[k] = 0
                         if cfg.lean:
                             out_rows[k, 1] = BIT_REPLAY | BIT_RESOLVED
@@ -1100,8 +1218,9 @@ class DeviceEngine:
                     if len(rest):
                         next_todo.append(rest)
             # every round either completes reads, escalates their rank
-            # (bounded by maxseg), or re-windows an overflow tail whose head
-            # always fits, so this terminates
+            # (bounded by maxseg) or capacity tier (bounded at 1), or
+            # re-windows an overflow tail whose head always fits, so this
+            # terminates
             todo = (np.concatenate(next_todo)
                     if next_todo else np.zeros(0, dtype=np.int64))
 
@@ -1163,29 +1282,43 @@ class DeviceEngine:
         from .. import native
         p = self.param
         lib = native.get_lib()
-        codes, regs, lens, ncnt = native.encode_block(
-            lib, block.buf, block.rec, p.alphabet, REG_ALPHABET, FIXSIZE)
+        rows = native.encode_block_words(
+            lib, block.buf, block.rec, p.alphabet, REG_ALPHABET, FIXELEMENT)
+        lens = rows[:, SC_LEN]
+        ncnt = rows[:, SC_RANK]          # encoder parks the N count here
         live = (lens >= p.min_read_size) & (ncnt <= p.max_ns)
         live_pos = np.nonzero(live)[0]
         self.n_filtered += len(block) - len(live_pos)
         n = len(live_pos)
         if n == 0:
             return live_pos, np.zeros((0, 2), np.int32), {}
-        codes, regs, lens_l = codes[live_pos], regs[live_pos], lens[live_pos]
+        rows_l = rows[live_pos]
+        lens_l = rows_l[:, SC_LEN]
         buds = ((p.max_snp_num + 1) * (lens_l - 1) // lens_l).astype(np.int32)
-        lean = not self._stale_risk(lens_l, buds).any()
+        rows_l[:, SC_BUD] = buds
+        rows_l[:, SC_RAND] = myrand_hash(
+            block.indices[live_pos], p.randseed).astype(np.uint32).view(
+            np.int32)
+        rows_l[:, SC_RANK] = 0
+        risk = self._stale_risk(lens_l, buds)
+        lean = not risk.any()
         cfg = self._cfg("b" if p.chains
                         else ("r" if block.readset == 2 else "f"), lean=lean)
-        rand32 = myrand_hash(block.indices[live_pos], p.randseed)
         out_rows, replays = self._align_arrays(
-            cfg, codes, regs, lens_l, buds, rand32,
-            lambda t: block.read_obj(int(live_pos[t])))
+            cfg, rows_l, lambda t: block.read_obj(int(live_pos[t])),
+            risk=risk)
         if not lean:
             out_rows = _pack_rows_lean(out_rows, cfg.maxseg)
         return live_pos, out_rows, replays
 
     def format_block(self, block, fmt) -> bytes:
-        """Align + format one ReadBlock as SAM bytes via the native
+        """Align + format one ReadBlock as SAM bytes (see align_block /
+        format_aligned_block, split so the block pipeline can format in the
+        writer thread while the next block aligns)."""
+        return self.format_aligned_block(block, self.align_block(block), fmt)
+
+    def format_aligned_block(self, block, aligned, fmt):
+        """Format one aligned ReadBlock as SAM bytes via the native
         formatter; replayed reads are formatted exactly in Python and
         spliced back in order.  SAM-only: the BSP stale-hits[0][0] leak
         (output/sam.py) never affects SAM lines, so device rows are
@@ -1193,7 +1326,7 @@ class DeviceEngine:
         from .. import native
         p = self.param
         lib = native.get_lib()
-        live_pos, out_rows, replays = self.align_block(block)
+        live_pos, out_rows, replays = aligned
         n_all = len(block)
         status = np.ones(n_all, dtype=np.int32)          # 1 = QC-filtered
         rows_all = np.zeros((n_all, 2), dtype=np.int32)

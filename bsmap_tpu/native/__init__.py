@@ -66,6 +66,9 @@ def get_lib() -> ctypes.CDLL | None:
         lib.bsmap_encode_block.argtypes = [
             ctypes.c_char_p, _p_i64, _i64, _p_u8, _p_u8, _i64,
             _p_u8, _p_u8, _p_i32, _p_i32]
+        lib.bsmap_encode_block_words.restype = None
+        lib.bsmap_encode_block_words.argtypes = [
+            ctypes.c_char_p, _p_i64, _i64, _p_u8, _p_u8, _i64, _p_i32]
         lib.bsmap_format_sam_block.restype = _i64
         lib.bsmap_format_sam_block.argtypes = [
             ctypes.c_char_p, _p_i64, _i64, _p_i32, _p_i32,
@@ -101,6 +104,19 @@ def encode_block(lib, buf: bytes, rec: np.ndarray, alphabet: np.ndarray,
     return codes, regs, lens, ncnt
 
 
+def encode_block_words(lib, buf: bytes, rec: np.ndarray, alphabet: np.ndarray,
+                       reg_alphabet: np.ndarray, nwords: int):
+    """Device dispatch rows (n, 2*nwords+4) int32 for a parsed block:
+    [qwords | rwords | len | 0 | 0 | ncnt]; see bsmap_encode_block_words."""
+    n = len(rec)
+    rows = np.zeros((n, 2 * nwords + 4), dtype=np.int32)
+    lib.bsmap_encode_block_words(buf, np.ascontiguousarray(rec).reshape(-1),
+                                 n, np.ascontiguousarray(alphabet),
+                                 np.ascontiguousarray(reg_alphabet), nwords,
+                                 rows.reshape(-1))
+    return rows
+
+
 def format_sam_block(lib, buf: bytes, rec: np.ndarray, status: np.ndarray,
                      rows: np.ndarray, chrnames: np.ndarray,
                      chrname_off: np.ndarray, revc: np.ndarray,
@@ -122,5 +138,6 @@ def format_sam_block(lib, buf: bytes, rec: np.ndarray, status: np.ndarray,
             revc, flag_base, int(out_unmap), rrhits, synth_qual,
             out, cap, line_off, ctypes.byref(na))
         if w >= 0:
-            return out[:w].tobytes(), line_off, int(na.value)
+            # zero-copy view: callers write it or b"".join it directly
+            return out[:w].data, line_off, int(na.value)
         cap *= 2

@@ -119,6 +119,49 @@ void bsmap_encode_block(const uint8_t* buf, const int64_t* rec, int64_t n,
     }
 }
 
+// Encode a parsed block straight into the device dispatch row layout:
+// int32 (n, 2*nwords + 4) rows = [read 2-bit-packed words | valid-mask
+// words (lanes 11 valid / 00 invalid) | len | 0 | 0 | ncnt].  First base in
+// the top bits of word 0 (dbseq.cpp:71-75 layout) — exactly the `qw`/`rw`
+// arrays the device kernel's verify stage consumes, so the device never
+// touches per-base codes.  Columns 2*nwords+1..2 (budget, rand32) are
+// filled by the Python caller; ncnt rides in the maxrank slot until the
+// caller overwrites it.
+void bsmap_encode_block_words(const uint8_t* buf, const int64_t* rec,
+                              int64_t n, const uint8_t* alphabet,
+                              const uint8_t* reg_alphabet, int64_t nwords,
+                              int32_t* rows) {
+    const int64_t stride = 2 * nwords + 4;
+    const int64_t fixsize = nwords * 16;
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* s = buf + rec[i * 6 + 2];
+        int64_t L = rec[i * 6 + 3];
+        if (L > fixsize) L = fixsize;
+        uint32_t* q = (uint32_t*)(rows + i * stride);
+        uint32_t* r = q + nwords;
+        int32_t bad = 0;
+        uint32_t qa = 0, ra = 0;
+        int64_t w = 0, k = 0;
+        for (; k < L; k++) {
+            uint8_t b = s[k];
+            uint8_t g = reg_alphabet[b];
+            qa = (qa << 2) | alphabet[b];
+            ra = (ra << 2) | g;
+            bad += (g == 0);
+            if ((k & 15) == 15) { q[w] = qa; r[w] = ra; w++; qa = ra = 0; }
+        }
+        if (k & 15) {
+            int sh = 2 * (16 - (k & 15));
+            q[w] = qa << sh; r[w] = ra << sh; w++;
+        }
+        for (; w < nwords; w++) { q[w] = 0; r[w] = 0; }
+        rows[i * stride + 2 * nwords] = (int32_t)L;
+        rows[i * stride + 2 * nwords + 1] = 0;
+        rows[i * stride + 2 * nwords + 2] = 0;
+        rows[i * stride + 2 * nwords + 3] = bad;
+    }
+}
+
 static inline uint8_t* put_u32(uint8_t* o, uint32_t v) {
     char tmp[10];
     int k = 0;

@@ -84,6 +84,7 @@ class ShardedDeviceEngine(DeviceEngine):
         # global chunk shape seen by the base-class orchestration
         self.B = self.ndev * self.B_loc
         self.CANDS = self.C_loc          # capacity is PER STRIPE
+        self.CANDS_BIG = max(de.CANDS_BIG_PER_READ * self.B_loc, self.C_loc)
         rep = NamedSharding(self.mesh, P())
         # replicate the genome + index over every device in the mesh
         for name in ("d_catcat", "d_anchors", "d_sizes", "d_rcoff",
@@ -93,10 +94,11 @@ class ShardedDeviceEngine(DeviceEngine):
         self._shd = NamedSharding(self.mesh, P(self.axis))
         self.last_n_aligned = 0
 
-    def _dispatch(self, cfg, packed):
+    def _dispatch(self, cfg, packed, cands: int | None = None):
         placed = jax.device_put(packed, self._shd)
         out, n_aligned = _sharded_fused(
-            cfg, self.C_loc, self.mesh, self.axis, self.prof_a,
+            cfg, self.C_loc if cands is None else cands,
+            self.mesh, self.axis, self.prof_a,
             self.d_kmer_tab, self.rc_code, self.rc_n_code, self.d_catcat,
             self.d_anchors, self.d_sizes, self.d_rcoff, self.d_wlocs,
             self.d_clocs, self.d_tags, self.d_sites, self.d_site_off,

@@ -58,10 +58,10 @@ def _ref_methratio(d, args):
             print("\\t".join(col))
         """))
     shim.chmod(0o755)
-    ref_script = "/tmp/bsmap_ref/methratio3.py"
-    import pathlib
-    if not pathlib.Path(ref_script).exists():
-        pytest.skip("py3 reference methratio not prepared")
+    from .conftest import ensure_methratio3
+    ref_script = ensure_methratio3()
+    if ref_script is None:
+        pytest.skip("reference methratio.py not available")
     env = dict(os.environ)
     env["PATH"] = f"{shim_dir}:/usr/bin:/bin"
     r = subprocess.run([sys.executable, ref_script] + args, cwd=d,
