@@ -43,8 +43,10 @@ USAGE = """Usage: bsmap_tpu [options]
        -m  <int>   min insert size, default 28
        -x  <int>   max insert size, default 500
        -2  <str>   output for unpaired PE hits (BSP mode)
-       --engine {auto,host,device,sharded}   alignment engine (default auto:
-                   sharded over all devices when >1, else single-device)
+       --engine {auto,host,device,sharded,index-sharded}
+                   alignment engine (default auto: sharded over all devices
+                   when >1, else single-device; index-sharded = seed index
+                   region-sharded across the mesh, reads replicated)
        --index-cache <dir>           persist/reuse the seed index
        --nprocs <int>       multi-host: total processes (data-parallel over
                             contiguous read ranges; byte-exact merge)
@@ -206,6 +208,9 @@ def make_engine(o: Options, genome, index):
     if o.engine == "sharded":
         from .parallel import ShardedDeviceEngine
         return ShardedDeviceEngine(genome, index, o.param)
+    if o.engine == "index-sharded":
+        from .parallel import IndexShardedEngine
+        return IndexShardedEngine(genome, index, o.param)
     if o.engine != "host":
         try:
             import jax
@@ -243,7 +248,10 @@ def run(argv: list[str]) -> int:
     print(f"Create seed table. {timer.total():.1f} secs passed")
 
     if o.nprocs > 1:
-        n = run_multihost_se(o, genome, index)
+        if o.query_a and o.query_b:
+            n = run_multihost_pair(o, genome, index)
+        else:
+            n = run_multihost_se(o, genome, index)
     elif o.query_a and o.query_b:
         from .engine.pair_pipeline import run_pair_end
         n = run_pair_end(o, genome, index)
@@ -294,10 +302,82 @@ def run_multihost_se(o: Options, genome, index) -> int:
     return total_n
 
 
+def run_multihost_pair(o: Options, genome, index) -> int:
+    """Multi-host PE: contiguous PAIR-range shard per process with both
+    per-mate MateStates reconstructed exactly at the boundary (the
+    reference's manual -B/-E splitting covers pairs too: README.txt:83-86,
+    main.cpp:87-114); ordered shard merge on process 0."""
+    from .engine.pair_pipeline import make_pair_engine
+    from .output.pair_sam import PairFormatter
+    from .parallel import distributed as dist
+
+    p = o.param
+    dist.initialize(o.coordinator, o.nprocs, o.proc_id)
+    total = dist.count_reads(o.query_a, p)
+    s, e = dist.plan_range(total, o.nprocs, o.proc_id,
+                           p.read_start, p.read_end)
+    engine = make_pair_engine(o, genome, index)
+    if s > 1:
+        dist.reconstruct_pair_state(engine, o.query_a, o.query_b, p, s)
+    p.read_start, p.read_end = s, e
+    final_out, final_unpair = o.out_file, o.out_unpair
+    if not p.out_sam and not final_unpair:
+        sys.exit("failed to open output file for unpaired hits "
+                 "(check -2 option)")
+    fmt = PairFormatter(genome, p, RandR(1))
+    sa = open_read_stream(o.query_a, p, readset=1)
+    sb = open_read_stream(o.query_b, p, readset=2)
+    timer = StepTimer()
+    fout = open(f"{final_out}.shard{o.proc_id}", "w")
+    fup = (open(f"{final_unpair}.shard{o.proc_id}", "w")
+           if not p.out_sam else None)
+    total_n = 0
+    while True:
+        ba = sa.next_batch(BATCH_NUM)
+        bb = sb.next_batch(BATCH_NUM)
+        if not ba or len(ba) != len(bb):
+            break
+        mo, uo = engine.format_batch(ba, bb, fmt)
+        fout.write(mo)
+        (fup if fup is not None else fout).write(uo)
+        total_n += len(ba)
+        print(f"{total_n} read pairs finished. "
+              f"{timer.total():.1f} secs passed")
+    fout.close()
+    sa.close()
+    sb.close()
+    open(f"{final_out}.shard{o.proc_id}.done", "w").close()
+    if fup is not None:
+        fup.close()
+        open(f"{final_unpair}.shard{o.proc_id}.done", "w").close()
+    print(f"shard {o.proc_id}: {total_n} pairs, "
+          f"{fmt.n_aligned_pairs} aligned pairs")
+    if o.proc_id == 0:
+        dist.merge_shards(final_out, o.nprocs,
+                          sam_header(genome) if p.out_sam else "")
+        if fup is not None:
+            dist.merge_shards(final_unpair, o.nprocs, "")
+        print(f"merged {o.nprocs} shards -> {final_out}")
+        if p.out_sam == 2:
+            from .output.bam import sam_to_bam
+            sam_to_bam(final_out)
+    return total_n
+
+
+def _randr_seed() -> int:
+    """rand_r seed for -S 0: getpid()*time() like the reference
+    (main.cpp-era semantics: explicitly non-reproducible, README.txt:91-92);
+    BSMAP_TPU_RANDR_SEED pins it for internal parity tests."""
+    env = os.environ.get("BSMAP_TPU_RANDR_SEED")
+    if env is not None:
+        return int(env)
+    return os.getpid() * int(__import__("time").time()) & 0xFFFFFFFF
+
+
 def run_single_end(o: Options, genome, index) -> int:
     p = o.param
     engine = make_engine(o, genome, index)
-    fmt = SamFormatter(genome, p, RandR(os.getpid() * int(__import__('time').time()) & 0xFFFFFFFF))
+    fmt = SamFormatter(genome, p, RandR(_randr_seed()))
     timer = StepTimer()
     from .readio import detect_format
     if (getattr(engine, "supports_blocks", lambda: False)()

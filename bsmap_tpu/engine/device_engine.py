@@ -122,6 +122,11 @@ class Cfg(NamedTuple):
     rc: tuple = (3, 2, 1, 0)   # 2-bit complement permutation (rc_code);
                                # static so the RC chain is pure lane math
     rc_n: int = 3          # rev_alphabet['N'] code for RC-chain N lanes
+    shard_axis: str = ""   # non-empty inside an index-sharded shard_map:
+                           # locs/offsets are the LOCAL region shard, the
+                           # kmer table carries global+local counts, and
+                           # counts/early-exit/selection merge with
+                           # psum/pmin/all_gather over this mesh axis
 
     @property
     def nch(self) -> int:
@@ -271,10 +276,15 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
     def chain_schedule(cwords, koff):
         sarr = _seed_array_w(cwords, S, P)          # (B, P) int32
         # per-position bucket rows: the only random-access gather of stage 1.
-        # row = [watson_off, total_count, watson_count, crick_off]
-        rows = _rowg(d_kmer_tab, sarr)              # (B, P, 4) int32
+        # row = [watson_off, total_count, watson_count, crick_off]; under
+        # index sharding two extra columns: [.., local_total, local_crick] —
+        # cost/schedule math uses the GLOBAL total (col 1, replicated so
+        # every device computes the identical schedule), enumeration uses
+        # the LOCAL shard counts (cols 4, 2, and offsets 0/3)
+        rows = _rowg(d_kmer_tab, sarr)              # (B, P, 4|6) int32
         o0, cnt, wc, o3 = (rows[..., 0], rows[..., 1], rows[..., 2],
                            rows[..., 3])
+        cnt_enum = rows[..., 4] if rows.shape[-1] > 4 else cnt
         if cfg.rrbs:
             # RRBS: one probed position per segment (I=1), no offset scan
             # or refinement; segments ordered by RAW bucket size
@@ -288,7 +298,7 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
             order = jnp.argsort(key_hi, axis=1,
                                 stable=True).astype(jnp.int32)
             start_arr = jnp.zeros((B, MS), jnp.int32)
-            return (start_arr, order, o0, cnt, wc, o3,
+            return (start_arr, order, o0, cnt_enum, wc, o3,
                     jnp.zeros((B,), jnp.int32))
         # reference cost includes the +2 CSR header slots (dbseq.cpp:381).
         # Sums are WRAPPING uint32 like the reference's bit32_t totals
@@ -341,7 +351,7 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
         cost_s = cost_n ^ jnp.uint32(0x80000000)    # order uint as int32
         key_hi = jnp.where(seg_mask, cost_s, BIGU)
         order = jnp.argsort(key_hi, axis=1, stable=True).astype(jnp.int32)
-        return start_arr, order, o0, cnt, wc, o3, s_off
+        return start_arr, order, o0, cnt_enum, wc, o3, s_off
 
     # per-chain RRBS position shift: the RC chain probes a + (len % S)
     # (align.cpp:175-251 cseed_offset); 0 for WGBS and forward chains
@@ -419,9 +429,11 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
 def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
                  d_rcoff, d_wlocs, d_clocs, d_tags, d_sites, d_site_off,
                  qw, rw, lens, budgets, rand32, maxrank,
-                 h, off0, off3, wcnt, cnt, wantv, s_off, c_off):
+                 h, off0, off3, wcnt, cnt, wantv, s_off, c_off,
+                 bounds=None):
     B = qw.shape[0]
     W, NB, nch, I, MS = cfg.W, cfg.NB, cfg.nch, cfg.I, cfg.maxseg
+    ax = cfg.shard_axis or None
     sidx = jnp.arange(CANDS, dtype=jnp.int32)
 
     # --- global candidate layout: saturating cumsum of slot counts ----------
@@ -520,6 +532,9 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
         eligible = eligible & tag_ok
 
     # --- dedup by (read, chr, watson_loc): first discovery wins -------------
+    # The key matches the reference hitset's: hitset[_hit.chr >> 1] keyed
+    # by loc (align.cpp:201,274) — parity is DROPPED, so a Watson and a
+    # Crick hit sharing the same Watson 5' coordinate do merge.
     # Cascaded scatter-hash tables instead of global sorts (TPU sorts are
     # the kernel's dominant cost at big CANDS).  Same-key candidates always
     # hash to the same slot, so a scatter-min of the discovery index per
@@ -551,6 +566,21 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
         unresolved = unresolved & ~(is_me | same)
     dedup_fail = unresolved
     acc_pre = eligible & first
+
+    corner_read = None
+    if ax:
+        # Region-sharded exactness: entries are owned by the region of
+        # their (Watson-projected) coordinate, so same-dedup-key candidates
+        # are co-located — EXCEPT when the dedup key (anchors[c] + wloc)
+        # falls across a region boundary from the owning entry (possible
+        # within one read length of a boundary).  Those reads replay on the
+        # exact host engine; the span is <= FIXSIZE bases per boundary.
+        my = jax.lax.axis_index(ax).astype(jnp.int32)
+        gkey = _g1(d_anchors, c) + jnp.clip(wloc, 0, None).astype(jnp.uint32)
+        reg = (jnp.searchsorted(bounds, gkey, side="right")
+               .astype(jnp.int32) - 1)
+        corner_read = jnp.zeros((B,), bool).at[rid].max(
+            eligible & (reg != my))
 
     if cfg.rrbs and not cfg.pe:
         # SE RRBS fragment filter (align.cpp:202-207): the hit must fall in
@@ -596,6 +626,9 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
         lev = jnp.where(acc_pre, wmm, BIGLEVEL)
         minw_rank = jnp.full((B * MS,), BIGLEVEL, jnp.int32).at[
             rid * MS + rank].min(lev).reshape(B, MS)
+        if ax:
+            # the early exit must see hits found on ANY device's shard
+            minw_rank = jax.lax.pmin(minw_rank, ax)
         prefmin = jax.lax.associative_scan(jnp.minimum, minw_rank, axis=1)
         r_i = jnp.arange(MS, dtype=jnp.int32)
         stopped = (prefmin <= r_i[None, :]) & \
@@ -612,6 +645,8 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     counts = jnp.zeros((B * (2 * MS + 1),), jnp.int32).at[
         rid * (2 * MS + 1) + label].add(1).reshape(B, 2 * MS + 1)
     counts = counts[:, : 2 * MS].reshape(B, MS, 2)
+    if ax:
+        counts = jax.lax.psum(counts, ax)   # exact global histograms
 
     lev_sums = counts.sum(axis=2)                       # (B, maxseg)
     found = lev_sums.sum(axis=1) > 0
@@ -621,7 +656,12 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     # --- replay detection ----------------------------------------------------
     replay = (lev_sums >= cfg.max_num_hits).any(axis=1)
     # hash-dedup cascade exhausted for some candidate of this read
-    replay = replay | (jnp.zeros((B,), bool).at[rid].max(dedup_fail))
+    dd = jnp.zeros((B,), bool).at[rid].max(dedup_fail)
+    if ax:
+        dd = jax.lax.psum(dd.astype(jnp.int32), ax) > 0
+        replay = replay | (jax.lax.psum(corner_read.astype(jnp.int32),
+                                        ax) > 0)
+    replay = replay | dd
     if cfg.report_repeat_hits == 0 and not cfg.pe:
         # the -r 0 second-equal-best abort is SE-only (align.cpp:210 guard)
         replay = replay | (found & (ssum > 1))
@@ -632,32 +672,91 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     sel_chain = (j >= nfwd).astype(jnp.int32)
     target = jnp.where(sel_chain == 1, j - nfwd, j) + 1
     ind = accepted & (wmm == _g1(ii, rid)) & (chain == _g1(sel_chain, rid))
-    cs = jnp.cumsum(ind.astype(jnp.int32))
-    read_start = _g1(starts, rid * NB)
-    start_pos = jnp.clip(read_start, 0, CANDS - 1)
-    base = jnp.where(read_start > 0, _g1(cs, start_pos - 1), 0)
-    local_rank = cs - base
-    sel = ind & (local_rank == _g1(target, rid))
     chrp = 2 * c + crick.astype(jnp.int32)
-    sel_sidx = jnp.full((B,), CANDS, jnp.int32).at[rid].min(
-        jnp.where(sel, sidx, CANDS))
-    safe_sel = jnp.clip(sel_sidx, 0, CANDS - 1)
-    sel_chrp = _g1(chrp, safe_sel)
-    sel_wloc = _g1(wloc, safe_sel)
-
-    # first level-0 forward hit (hits[0][0] slot leak, see output/sam.py)
     ind0 = accepted & (wmm == 0) & (chain == 0)
-    h00_sidx = jnp.full((B,), CANDS, jnp.int32).at[rid].min(
-        jnp.where(ind0, sidx, CANDS))
-    h00_found = h00_sidx < CANDS
-    safe = jnp.clip(h00_sidx, 0, CANDS - 1)
-    h00_chrp = _g1(chrp, safe)
-    h00_wloc = _g1(wloc, safe)
+
+    if ax:
+        # Exact global discovery rank across region shards.  Within a slot
+        # (one bucket probe) the global entry order is: Watson entries in
+        # ascending-region order across devices, then Crick entries in
+        # DESCENDING-region order (Crick coordinates ascend as Watson
+        # positions descend).  A (B, NB, 2) per-slot/per-strand count
+        # all_gather gives every device the global offsets.
+        my = jax.lax.axis_index(ax).astype(jnp.int32)
+        fid_c = jnp.clip(fid, 0, B * NB - 1)
+        pid = fid_c * 2 + crick.astype(jnp.int32)
+
+        def global_rank_of(match):
+            cnt_sp = jnp.zeros((B * NB * 2,), jnp.int32).at[pid].add(
+                jnp.where(match, 1, 0)).reshape(B, NB, 2)
+            allc = jax.lax.all_gather(cnt_sp, ax)    # (ndev, B, NB, 2)
+            devv = jax.lax.broadcasted_iota(
+                jnp.int32, (allc.shape[0], 1, 1), 0)
+            w_all, c_all = allc[..., 0], allc[..., 1]
+            w_pre = jnp.where(devv < my, w_all, 0).sum(axis=0)
+            c_pre = jnp.where(devv > my, c_all, 0).sum(axis=0)
+            w_tot = w_all.sum(axis=0)
+            slot_tot = w_tot + c_all.sum(axis=0)     # (B, NB)
+            base_slot = jnp.cumsum(slot_tot.reshape(B * NB)).reshape(
+                B, NB) - slot_tot
+            # slots are per-read contiguous; rebase to the read's first slot
+            base_slot = base_slot - base_slot[:, :1]
+            off_w = (base_slot + w_pre).reshape(-1)
+            off_c = (base_slot + w_tot + c_pre).reshape(-1)
+            csl = jnp.cumsum(match.astype(jnp.int32))
+            pos0 = _g1(starts, fid_c) + jnp.where(crick, g_wc, 0)
+            p0 = jnp.clip(pos0 - 1, 0, CANDS - 1)
+            basel = jnp.where(pos0 > 0, _g1(csl, p0), 0)
+            lrank = csl - basel                      # 1-based where match
+            offs = jnp.where(crick, _g1(off_c, fid_c), _g1(off_w, fid_c))
+            return offs + lrank
+
+        def psum_pick(selm, vals):
+            return jax.lax.psum(jnp.zeros((B,), jnp.int32).at[rid].add(
+                jnp.where(selm, vals, 0)), ax)
+
+        sel = ind & (global_rank_of(ind) == _g1(target, rid))
+        sel_chrp = psum_pick(sel, chrp)
+        sel_wloc = psum_pick(sel, wloc)
+        sel0 = ind0 & (global_rank_of(ind0) == 1)
+        h00_found = jax.lax.psum(jnp.zeros((B,), jnp.int32).at[rid].max(
+            jnp.where(ind0, 1, 0)), ax) > 0
+        h00_chrp = psum_pick(sel0, chrp)
+        h00_wloc = psum_pick(sel0, wloc)
+    else:
+        cs = jnp.cumsum(ind.astype(jnp.int32))
+        read_start = _g1(starts, rid * NB)
+        start_pos = jnp.clip(read_start, 0, CANDS - 1)
+        base = jnp.where(read_start > 0, _g1(cs, start_pos - 1), 0)
+        local_rank = cs - base
+        sel = ind & (local_rank == _g1(target, rid))
+        sel_sidx = jnp.full((B,), CANDS, jnp.int32).at[rid].min(
+            jnp.where(sel, sidx, CANDS))
+        safe_sel = jnp.clip(sel_sidx, 0, CANDS - 1)
+        sel_chrp = _g1(chrp, safe_sel)
+        sel_wloc = _g1(wloc, safe_sel)
+
+        # first level-0 forward hit (hits[0][0] slot leak, see output/sam.py)
+        h00_sidx = jnp.full((B,), CANDS, jnp.int32).at[rid].min(
+            jnp.where(ind0, sidx, CANDS))
+        h00_found = h00_sidx < CANDS
+        safe = jnp.clip(h00_sidx, 0, CANDS - 1)
+        h00_chrp = _g1(chrp, safe)
+        h00_wloc = _g1(wloc, safe)
 
     # per-read totals (saturated; anything >= CANDS triggers retry anyway)
     rstart = starts.reshape(B, NB)[:, 0]
     rend = jnp.concatenate([rstart[1:], total_all[None]])
     totals = rend - rstart
+    if ax:
+        # ok only when EVERY device's stripe of the read fit its capacity;
+        # big when any single device overflowed alone
+        ok_all = jax.lax.psum((rend > CANDS).astype(jnp.int32), ax) == 0
+        big_any = jax.lax.psum((totals > CANDS).astype(jnp.int32), ax) > 0
+        totals = jax.lax.psum(totals, ax)
+    else:
+        ok_all = rend <= CANDS
+        big_any = totals > CANDS
 
     if cfg.lean:
         # SAM fast path: everything the formatter needs in 8 bytes/read
@@ -667,8 +766,8 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
         w1 = (found.astype(jnp.int32)
               | (sel_chain << 1)
               | (replay.astype(jnp.int32) << 2)
-              | ((rend <= CANDS).astype(jnp.int32) << 3)
-              | ((totals > CANDS).astype(jnp.int32) << 4)
+              | (ok_all.astype(jnp.int32) << 3)
+              | (big_any.astype(jnp.int32) << 4)
               | ((ssum != 1).astype(jnp.int32) << 5)
               | (ii << 6)
               | (sel_chrp << 10)
@@ -702,8 +801,8 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
         [found.astype(jnp.int32), ii, ssum, sel_chain, sel_chrp, sel_wloc,
          h00_found.astype(jnp.int32), h00_chrp, h00_wloc,
          replay.astype(jnp.int32), totals, s_off, c_off,
-         (rend <= CANDS).astype(jnp.int32),
-         (totals > CANDS).astype(jnp.int32),
+         ok_all.astype(jnp.int32),
+         big_any.astype(jnp.int32),
          resolved.astype(jnp.int32)], axis=1)
     return jnp.concatenate([counts.reshape(B, 2 * MS), extras] + hit_cols,
                            axis=1)
@@ -769,7 +868,7 @@ def _unpack_inputs(packed):
 def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, rc_code,
                         rc_n_code, d_catcat, d_anchors, d_sizes, d_rcoff,
                         d_wlocs, d_clocs, d_tags, d_sites, d_site_off,
-                        packed):
+                        packed, bounds=None):
     """Single-dispatch chunk: schedule + verify fused.  Candidate capacity is
     fixed; reads whose candidates ran past it are detected from the returned
     ok/overflow bits and re-dispatched (or host-replayed when one read
@@ -781,7 +880,8 @@ def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, rc_code,
     return _verify_impl(cfg, CANDS, d_catcat, d_anchors, d_sizes, d_rcoff,
                         d_wlocs, d_clocs, d_tags, d_sites, d_site_off,
                         qw, rw, lens, budgets, rand32, maxrank, h,
-                        off0, off3, wcnt, cnt, wantv, s_off, c_off)
+                        off0, off3, wcnt, cnt, wantv, s_off, c_off,
+                        bounds=bounds)
 
 
 # ---------------------------------------------------------------------------
@@ -790,9 +890,11 @@ def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, rc_code,
 
 class DeviceEngine:
     def __init__(self, genome: PackedGenome, index: SeedIndex, param: Param):
-        if param.randseed == 0:
-            raise EngineUnsupported("device engine needs -S != 0 "
-                                    "(stateless reproducible selection)")
+        # -S 0 (the reference default): selection draws a sequential glibc
+        # rand_r per FOUND read (align.cpp:623-625).  Unique reads are
+        # rand-independent (j = draw % 1), so the kernel runs with
+        # rand32 = 0, the formatter keeps the stream position, and only
+        # genuinely multi-hit reads replay on the exact host engine.
         self.genome = genome
         self.index = index
         self.param = param
@@ -885,8 +987,7 @@ class DeviceEngine:
         self._rc_tuple = tuple(rc)
         self._rc_n_int = int(param.rev_alphabet[ord("N")])
         self.B = DEV_BATCH             # reads per device dispatch
-        self.CANDS = CANDS_PER_READ * self.B
-        self.CANDS_BIG = max(CANDS_BIG_PER_READ * self.B, self.CANDS)
+        self._set_tiers(self.B)
         self.n_filtered = 0
         self.n_replayed = 0
         self.n_dispatched = 0
@@ -905,6 +1006,19 @@ class DeviceEngine:
         self._chrname_buf = np.frombuffer(b"".join(name_bytes), dtype=np.uint8)
         self._chrname_off = np.zeros(len(name_bytes) + 1, dtype=np.int64)
         np.cumsum([len(b) for b in name_bytes], out=self._chrname_off[1:])
+
+    def _set_tiers(self, b: int) -> None:
+        """Candidate-capacity ladder: dispatches start at the lowest tier
+        (kernel time is ~linear in capacity) and overflowing reads climb;
+        the START tier self-tunes upward when a window's first round leaves
+        most reads unresolved (repeat-heavy genomes like chr21 have
+        power-law bucket sizes: median ~3 candidates/read, p99 ~600)."""
+        mults = sorted({CANDS_PER_READ, 8, max(CANDS_BIG_PER_READ,
+                                               CANDS_PER_READ)})
+        self.cands_tiers = [m * b for m in mults]
+        self.CANDS = self.cands_tiers[0]
+        self.CANDS_BIG = self.cands_tiers[-1]
+        self.tier_start = 0
 
     def _cfg(self, chains_mode: str, lean: bool = False) -> Cfg:
         p = self.param
@@ -1113,7 +1227,8 @@ class DeviceEngine:
             return results
         codes, regs, lens, buds, rsets, ridx = self._pack_host(
             batch, live_idx, budgets)
-        rand32 = myrand_hash(ridx, self.param.randseed)
+        rand32 = (np.zeros(n, np.uint32) if self.param.randseed == 0
+                  else myrand_hash(ridx, self.param.randseed))
         cfg = self._cfg(self._chains_mode(rsets))
         rows = _pack_inputs(codes, regs, lens, buds, rand32,
                             np.zeros(n, np.int32))
@@ -1153,17 +1268,19 @@ class DeviceEngine:
         # PE/RRBS enumerate every segment in one pass
         init_rank = MS - 1 if (cfg.pe or cfg.rrbs) else 0
         cur_rank = np.full(n, init_rank, dtype=np.int32)
-        # candidate-capacity tier per read: 0 = CANDS, 1 = CANDS_BIG (only
-        # compiled when a single read's candidates exceed the small shape)
-        tier = np.zeros(n, dtype=np.uint8)
+        # per-read capacity tier into self.cands_tiers; starts at the
+        # self-tuned tier and climbs on overflow
+        n_tiers = len(self.cands_tiers)
+        tier = np.full(n, self.tier_start, dtype=np.uint8)
         todo = np.arange(n, dtype=np.int64)
+        first_round = True
         while len(todo):
             # optimistic windows of B reads; all dispatched before collection
             pend = []
             t0 = _time.time()
-            for tr in (0, 1):
+            for tr in range(n_tiers):
                 sub = todo[tier[todo] == tr]
-                cap = self.CANDS if tr == 0 else self.CANDS_BIG
+                cap = self.cands_tiers[tr]
                 for i in range(0, len(sub), self.B):
                     sel = sub[i: i + self.B]
                     out = self._dispatch(cfg, self._pad_rows(rows, sel,
@@ -1172,18 +1289,19 @@ class DeviceEngine:
                         out.copy_to_host_async()
                     except Exception:
                         pass
-                    pend.append((sel, out, cap))
+                    pend.append((sel, out, tr))
                     self.n_dispatched += 1
             self.t_enqueue += _time.time() - t0
             next_todo = []
-            for sel, out, cap in pend:
+            n_fit = 0
+            for sel, out, tr in pend:
                 t0 = _time.time()
                 orows = np.asarray(out)[: len(sel)]
                 self.t_collect += _time.time() - t0
                 # a read's result is exact iff its whole candidate range fit
                 # in the dispatch capacity (ok bit, computed on device); a
                 # read that alone exceeds capacity (big bit) escalates to
-                # the big shape, then to exact host replay
+                # the next tier, then to exact host replay
                 if cfg.lean:
                     ok = (orows[:, 1] & BIT_OK) != 0
                     big = (orows[:, 1] & BIT_BIG) != 0
@@ -1192,6 +1310,7 @@ class DeviceEngine:
                     ok = orows[:, 2 * MS + X_OK] != 0
                     big = orows[:, 2 * MS + X_BIG] != 0
                     res = orows[:, 2 * MS + X_RESOLVED] != 0
+                n_fit += int(ok.sum())
                 fin = ok & res
                 out_rows[sel[fin]] = orows[fin]
                 done[sel[fin]] = True
@@ -1202,10 +1321,9 @@ class DeviceEngine:
                 bad = sel[~ok]
                 if len(bad):
                     bigbad = sel[~ok & big]
-                    grow = bigbad[(tier[bigbad] == 0)
-                                  & (self.CANDS_BIG > cap)]
+                    grow = bigbad[tier[bigbad] < n_tiers - 1]
                     if len(grow):
-                        tier[grow] = 1
+                        tier[grow] += 1
                         next_todo.append(grow)
                     for k in bigbad[~np.isin(bigbad, grow)]:
                         out_rows[k] = 0
@@ -1217,10 +1335,15 @@ class DeviceEngine:
                     rest = bad[~np.isin(bad, bigbad)]
                     if len(rest):
                         next_todo.append(rest)
+            if first_round and n:
+                first_round = False
+                # self-tune: when most of a batch overflows the start tier,
+                # start future batches one tier higher (repeat-rich genome)
+                if n_fit < len(todo) // 2:
+                    self.tier_start = min(self.tier_start + 1, n_tiers - 1)
             # every round either completes reads, escalates their rank
-            # (bounded by maxseg) or capacity tier (bounded at 1), or
-            # re-windows an overflow tail whose head always fits, so this
-            # terminates
+            # (bounded by maxseg) or capacity tier (bounded), or re-windows
+            # an overflow tail whose head always fits, so this terminates
             todo = (np.concatenate(next_todo)
                     if next_todo else np.zeros(0, dtype=np.int64))
 
@@ -1232,6 +1355,17 @@ class DeviceEngine:
             replay_flag = (out_rows[:, 2 * MS + X_REPLAY] != 0) | risk
             dev_soff = out_rows[:, 2 * MS + X_SOFF]
             dev_coff = out_rows[:, 2 * MS + X_COFF]
+        if self.param.randseed == 0:
+            # -S 0: the kernel selected with rand32=0; only unique-hit
+            # reads are draw-independent — multi-hit reads replay so the
+            # formatter's sequential rand_r picks the real j-th hit
+            if cfg.lean:
+                multi = (((out_rows[:, 1] & BIT_FOUND) != 0)
+                         & ((out_rows[:, 1] & BIT_MULTI) != 0))
+            else:
+                multi = ((out_rows[:, 2 * MS + X_FOUND] != 0)
+                         & (out_rows[:, 2 * MS + X_SSUM] != 1))
+            replay_flag = replay_flag | multi
         replay_pos = np.nonzero(replay_flag)[0]
         replays: dict[int, SEResult] = {}
         cursor = 0
@@ -1296,9 +1430,9 @@ class DeviceEngine:
         lens_l = rows_l[:, SC_LEN]
         buds = ((p.max_snp_num + 1) * (lens_l - 1) // lens_l).astype(np.int32)
         rows_l[:, SC_BUD] = buds
-        rows_l[:, SC_RAND] = myrand_hash(
+        rows_l[:, SC_RAND] = (0 if p.randseed == 0 else myrand_hash(
             block.indices[live_pos], p.randseed).astype(np.uint32).view(
-            np.int32)
+            np.int32))
         rows_l[:, SC_RANK] = 0
         risk = self._stale_risk(lens_l, buds)
         lean = not risk.any()
@@ -1307,7 +1441,7 @@ class DeviceEngine:
         out_rows, replays = self._align_arrays(
             cfg, rows_l, lambda t: block.read_obj(int(live_pos[t])),
             risk=risk)
-        if not lean:
+        if not cfg.lean:
             out_rows = _pack_rows_lean(out_rows, cfg.maxseg)
         return live_pos, out_rows, replays
 
@@ -1341,17 +1475,33 @@ class DeviceEngine:
             0x40 * block.readset, bool(p.out_unmap), p.report_repeat_hits,
             block.synth_qual)
         fmt.n_aligned += na
+        fcum = None
+        if p.randseed == 0:
+            # -S 0: every found device-handled read consumed one rand_r
+            # draw in the reference (align.cpp:623); keep the formatter's
+            # sequential stream in sync so replayed multi-hit reads (which
+            # draw inside string_align) get the exact draw
+            found_dev = (status == 2) & ((rows_all[:, 1] & BIT_FOUND) != 0)
+            fcum = np.concatenate([[0], np.cumsum(found_dev)])
         if not replay_pos:
+            if fcum is not None:
+                fmt.rand_r.skip(int(fcum[-1]))
             return out
         pieces, prev = [], 0
+        prev_read = 0
         for i in replay_pos:
             cut = int(line_off[i])
             pieces.append(out[prev:cut])
+            if fcum is not None:
+                fmt.rand_r.skip(int(fcum[i] - fcum[prev_read]))
+                prev_read = i + 1
             res = replays[rmap[i]]
             pieces.append(fmt.string_align(block.read_obj(i), res)
                           .encode("latin1"))
             prev = cut
         pieces.append(out[prev:])
+        if fcum is not None:
+            fmt.rand_r.skip(int(fcum[n_all] - fcum[prev_read]))
         return b"".join(pieces)
 
 

@@ -18,8 +18,8 @@ from .pair_host import PairHostEngine
 def run_pair_end(o, genome, index) -> int:
     p = o.param
     engine = make_pair_engine(o, genome, index)
-    fmt = PairFormatter(genome, p,
-                        RandR(os.getpid() * int(time.time()) & 0xFFFFFFFF))
+    from ..cli import _randr_seed
+    fmt = PairFormatter(genome, p, RandR(_randr_seed()))
     sa = open_read_stream(o.query_a, p, readset=1)
     sb = open_read_stream(o.query_b, p, readset=2)
     timer = StepTimer()

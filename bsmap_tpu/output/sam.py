@@ -112,12 +112,18 @@ class SamFormatter:
 
     def emit_device(self, read: Read, v) -> str:
         """StringAlign equivalent for a device fast-path result whose hit
-        selection already happened on device (same myrand hash)."""
+        selection already happened on device (same myrand hash).  Under
+        -S 0 every found read still consumes one sequential rand_r draw
+        (align.cpp:623: myrand fires for sum==1 too); device-handled reads
+        are all unique there, so the value is discarded but the stream
+        position stays exact for the replayed multi-hit reads."""
         if v.h00_found:
             self.stale_h00 = v.h00
         if not v.found:
             return self.s_out_hit(read, chain=0, n=0, nsnps=v.level,
                                   hit=self.stale_h00, insert_size=0, res=v)
+        if self.param.randseed == 0:
+            self.rand_r()
         return self.s_out_hit(read, chain=v.chain, n=v.ssum, nsnps=v.level,
                               hit=v.hit, insert_size=0, res=v)
 

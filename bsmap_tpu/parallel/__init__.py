@@ -19,5 +19,7 @@ The TPU-native equivalents here:
 from . import distributed
 from .mesh import make_mesh
 from .sharded import ShardedDeviceEngine
+from .index_sharded import IndexShardedEngine
 
-__all__ = ["distributed", "make_mesh", "ShardedDeviceEngine"]
+__all__ = ["distributed", "make_mesh", "ShardedDeviceEngine",
+           "IndexShardedEngine"]

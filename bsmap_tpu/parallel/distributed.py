@@ -78,10 +78,10 @@ def plan_range(total: int, num_processes: int, process_id: int,
     return s, e
 
 
-def reconstruct_state(engine, path: str, param, range_start: int,
-                      window: int = 4096) -> None:
-    """Rebuild the MateState exactly as if reads [1, range_start) had been
-    aligned, from read content alone.
+def _reconstruct_into(host, state, path: str, param, range_start: int,
+                      readset: int = 0, window: int = 4096) -> None:
+    """Rebuild one MateState exactly as if reads [1, range_start) of the
+    given stream had been aligned, from read content alone.
 
     Buffers are content-pure (last-writer-wins of each read's seed values);
     the chosen start offsets are those of the last read with max_offset > 0,
@@ -94,7 +94,6 @@ def reconstruct_state(engine, path: str, param, range_start: int,
 
     if range_start <= 1:
         return
-    host = getattr(engine, "host", engine)
     p = param
     S, I = p.seed_size, p.index_interval
     while True:
@@ -103,7 +102,7 @@ def reconstruct_state(engine, path: str, param, range_start: int,
         p2 = copy.copy(p)
         p2.read_start = w0
         p2.read_end = range_start - 1
-        s = ReadStream(path, p2, 0)
+        s = ReadStream(path, p2, readset)
         reads = s.next_batch(range_start - w0)
         s.close()
         live = []
@@ -117,9 +116,8 @@ def reconstruct_state(engine, path: str, param, range_start: int,
             break
         window *= 2
 
-    st = host.mate_state
     n = len(live)
-    fill_seed_buffers(p, st, lambda k: live[k], 0, n, MateState.SEEDBUF)
+    fill_seed_buffers(p, state, lambda k: live[k], 0, n, MateState.SEEDBUF)
     if has_offset_read:
         L = max(k for k in range(n) if mo[k] > 0)
         tmp = MateState()
@@ -128,8 +126,28 @@ def reconstruct_state(engine, path: str, param, range_start: int,
         rd = live[L]
         budget = p.read_max_snp_num(len(rd.seq), rd.raw_len or len(rd.seq))
         host.sync_schedule(rd, budget, state=tmp)
-        st.seed_start_offset = tmp.seed_start_offset
-        st.cseed_start_offset = tmp.cseed_start_offset
+        state.seed_start_offset = tmp.seed_start_offset
+        state.cseed_start_offset = tmp.cseed_start_offset
+
+
+def reconstruct_state(engine, path: str, param, range_start: int,
+                      window: int = 4096) -> None:
+    """SE: rebuild the engine's single MateState at a range boundary."""
+    host = getattr(engine, "host", engine)
+    _reconstruct_into(host, host.mate_state, path, param, range_start,
+                      readset=0, window=window)
+
+
+def reconstruct_pair_state(pair_engine, path_a: str, path_b: str, param,
+                           range_start: int, window: int = 4096) -> None:
+    """PE: rebuild both per-mate MateStates (PairAlign owns _sa and _sb,
+    pairs.h:50-51) at a pair-range boundary."""
+    ph = getattr(pair_engine, "pair_host", None) or pair_engine.engine
+    host = ph.single
+    _reconstruct_into(host, ph.state_a, path_a, param, range_start,
+                      readset=1, window=window)
+    _reconstruct_into(host, ph.state_b, path_b, param, range_start,
+                      readset=2, window=window)
 
 
 def merge_shards(out_file: str, num_processes: int, header: str = "",

@@ -83,8 +83,13 @@ class ShardedDeviceEngine(DeviceEngine):
                       else de.CANDS_PER_READ * self.B_loc)
         # global chunk shape seen by the base-class orchestration
         self.B = self.ndev * self.B_loc
-        self.CANDS = self.C_loc          # capacity is PER STRIPE
-        self.CANDS_BIG = max(de.CANDS_BIG_PER_READ * self.B_loc, self.C_loc)
+        if cands_loc is not None:
+            self.cands_tiers = [self.C_loc]    # explicit capacity: one tier
+            self.CANDS = self.CANDS_BIG = self.C_loc
+            self.tier_start = 0
+        else:
+            self._set_tiers(self.B_loc)        # capacity is PER STRIPE
+            self.C_loc = self.CANDS
         rep = NamedSharding(self.mesh, P())
         # replicate the genome + index over every device in the mesh
         for name in ("d_catcat", "d_anchors", "d_sizes", "d_rcoff",

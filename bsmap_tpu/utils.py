@@ -49,6 +49,25 @@ class RandR:
             self.state = n
         return result
 
+    def skip(self, n_draws: int) -> None:
+        """Advance the stream by n_draws rand_r calls (3 LCG steps each)
+        in O(log n) via affine-map composition — used by the device -S 0
+        path to account for unique-hit reads whose draw value is irrelevant
+        (j = draw % 1) but whose stream consumption is not."""
+        if n_draws <= 0:
+            return
+        k = 3 * n_draws
+        with np.errstate(over="ignore"):
+            a, c = np.uint32(1103515245), np.uint32(12345)
+            ra, rc = np.uint32(1), np.uint32(0)
+            while k:
+                if k & 1:
+                    # compose: apply (ra, rc) then (a, c)
+                    ra, rc = a * ra, a * rc + c
+                a, c = a * a, a * c + c
+                k >>= 1
+            self.state = ra * self.state + rc
+
 
 def myrand(read_index: int, randseed: int, rand_r: RandR) -> int:
     """utilities.cpp:40-50 dispatch."""

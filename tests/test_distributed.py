@@ -48,3 +48,34 @@ def test_two_process_equals_one(dist_data, engine):
                              "--proc-id", "0"])
     assert p0.wait() == 0 and p1.wait() == 0
     assert (d / "one.sam").read_bytes() == (d / "two.sam").read_bytes()
+
+
+@pytest.fixture(scope="module")
+def dist_pe_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("distpe")
+    simulate(d, genome_out="g.fa", reads_out="ra.fq", reads2_out="rb.fq",
+             pe=True, n_reads=900, read_len=50, chr_len=30000, n_chr=2,
+             seed=29, error_rate=0.02)
+    return d
+
+
+def _run_pe(d, out, extra):
+    import os
+    cmd = [sys.executable, "-m", "bsmap_tpu.cli", "-a", str(d / "ra.fq"),
+           "-b", str(d / "rb.fq"), "-d", str(d / "g.fa"),
+           "-o", str(d / out), "-S", "1", "-v", "2", "-u"] + extra
+    return subprocess.Popen(cmd, cwd=REPO, env=dict(os.environ),
+                            stdout=subprocess.DEVNULL)
+
+
+def test_two_process_pe_equals_one(dist_pe_data):
+    """--nprocs with -b must run the PAIR path per range (round-2 bug:
+    it silently aligned only -a as single-end)."""
+    d = dist_pe_data
+    _run_pe(d, "one.sam", ["--engine", "host"]).wait()
+    p1 = _run_pe(d, "two.sam", ["--engine", "host", "--nprocs", "2",
+                                "--proc-id", "1"])
+    p0 = _run_pe(d, "two.sam", ["--engine", "host", "--nprocs", "2",
+                                "--proc-id", "0"])
+    assert p0.wait() == 0 and p1.wait() == 0
+    assert (d / "one.sam").read_bytes() == (d / "two.sam").read_bytes()

@@ -116,3 +116,29 @@ def test_mixed_length_stale_state(reference_binary, eng_data, engine):
     run_ref(reference_binary, eng_data, base + ["-o", "refmix.sam"])
     run_ours(eng_data, base + ["-o", f"ourmix_{engine}.sam"], engine=engine)
     assert_same(eng_data, "refmix.sam", f"ourmix_{engine}.sam")
+
+
+def test_s0_device_matches_host(eng_data):
+    """-S 0 (the reference default): sequential rand_r selection.  With a
+    pinned rand_r seed the device fast path (kernel rand=0, unique reads
+    draw-skipped, multi-hit reads replayed) must be byte-identical to the
+    host engine's natural per-read draws."""
+    import os
+    import subprocess
+    import sys
+
+    from .conftest import REPO
+
+    d = eng_data
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "BSMAP_TPU_DEV_BATCH": "2048",
+           "BSMAP_TPU_CANDS_PER_READ": "16", "HOME": "/root",
+           "BSMAP_TPU_RANDR_SEED": "99"}
+    base = ["-a", "reads.fq", "-d", "ref.fa", "-v", "2", "-u", "-S", "0"]
+    for eng, out in (("host", "s0_host.sam"), ("device", "s0_dev.sam")):
+        r = subprocess.run(
+            [sys.executable, "-m", "bsmap_tpu.cli"] + base
+            + ["-o", out, "--engine", eng],
+            cwd=d, capture_output=True, env=env)
+        assert r.returncode == 0, r.stderr.decode()
+    assert_same(d, "s0_host.sam", "s0_dev.sam")

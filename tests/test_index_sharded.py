@@ -1,0 +1,77 @@
+"""Phase-B index sharding: byte parity of --engine index-sharded on an
+8-virtual-device CPU mesh vs the host engine and the reference binary
+(BASELINE configs 4-5; the last §2 parallelism-inventory row)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from .conftest import REPO, simulate
+from .test_golden_se import assert_same, run_ref
+
+
+def run_sharded(workdir, args, ndev=8):
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": f"--xla_force_host_platform_device_count={ndev}",
+           "BSMAP_TPU_DEV_BATCH": "1024", "BSMAP_TPU_CANDS_PER_READ": "16",
+           "HOME": "/root"}
+    r = subprocess.run([sys.executable, "-m", "bsmap_tpu.cli"] + args
+                       + ["--engine", "index-sharded"],
+                       cwd=workdir, capture_output=True, env=env)
+    assert r.returncode == 0, r.stderr.decode()
+
+
+@pytest.fixture(scope="module")
+def shard_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("idxshard")
+    simulate(d, genome_out="ref.fa", reads_out="reads.fq", n_reads=700,
+             read_len=60, chr_len=20000, n_chr=3, seed=31, error_rate=0.02)
+    return d
+
+
+def test_region_shards_partition():
+    """Every index entry is owned by exactly one shard and in-bucket order
+    is preserved."""
+    import io
+    from bsmap_tpu.params import Param
+    from bsmap_tpu.reference import load_genome
+    from bsmap_tpu.index import build_index
+    from bsmap_tpu.parallel.index_sharded import build_region_shards
+
+    p = Param()
+    p.set_seed_size(10)
+    rng = np.random.RandomState(3)
+    fa = "".join(f">c{i}\n" + "".join(
+        "ACGT"[b] for b in rng.randint(0, 4, 6000)) + "\n" for i in range(2))
+    genome = load_genome(io.StringIO(fa), p)
+    index = build_index(genome, p)
+    ndev = 4
+    bounds, tabs, wl_s, cl_s = build_region_shards(genome, index, ndev)
+    counts = np.diff(index.offsets)
+    wc = index.wcounts
+    assert tabs[:, :, 2].sum() == wc.sum()
+    assert tabs[:, :, 4].sum() == counts.sum()
+    # per-bucket: local counts sum to global
+    assert (tabs[:, :, 2].sum(axis=0) == wc).all()
+    assert (tabs[:, :, 4].sum(axis=0) == counts).all()
+    # local watson slices ascend within each bucket
+    for d in range(ndev):
+        off, cnt = tabs[d, :, 0], tabs[d, :, 2]
+        for b in np.nonzero(cnt > 1)[0][:50]:
+            seg = wl_s[d, off[b]: off[b] + cnt[b]]
+            assert (np.diff(seg.astype(np.int64)) >= 0).all()
+
+
+@pytest.mark.parametrize("cfg", [
+    ["-S", "1", "-v", "2", "-u"],
+    ["-S", "1", "-v", "2", "-u", "-n", "1"],
+    ["-S", "1", "-v", "3", "-r", "0", "-u"],
+])
+def test_index_sharded_parity(reference_binary, shard_data, cfg):
+    base = ["-a", "reads.fq", "-d", "ref.fa"]
+    run_ref(reference_binary, shard_data, base + ["-o", "ref.sam"] + cfg)
+    run_sharded(shard_data, base + ["-o", "our_is.sam"] + cfg)
+    assert_same(shard_data, "ref.sam", "our_is.sam")
