@@ -91,6 +91,14 @@ def run_config(gpath: str, rpath: str, out_name: str):
     dt = time.time() - t1
     phases["engine"] = type(engine).__name__
     phases["aligned"] = fmt.n_aligned
+    # per-phase evidence (round-2 verdict: publish the breakdown, not just
+    # the headline): host enqueue vs device-result wait, dispatch counts,
+    # exact-replay counts, and the self-tuned capacity tier
+    for k in ("t_enqueue", "t_collect", "n_dispatched", "n_replayed",
+              "tier_start", "rank_start"):
+        if hasattr(engine, k):
+            v = getattr(engine, k)
+            phases[k] = round(v, 2) if isinstance(v, float) else int(v)
     return n, dt, phases
 
 
@@ -107,6 +115,32 @@ def main() -> None:
     }), flush=True)
     print(f"# 10Mb config: {n} reads in {dt:.2f}s, {phases}",
           file=sys.stderr, flush=True)
+
+    if os.environ.get("BSMAP_TPU_BENCH_SCALING", "1") != "0":
+        # multi-device scaling (BASELINE north star: >=85% efficiency);
+        # virtual CPU mesh when only one real chip is attached
+        import subprocess
+        try:
+            # clean CPU-only env: the axon plugin registers at interpreter
+            # start (sitecustomize), so the virtual device pool needs a
+            # fresh process without it
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["JAX_PLATFORMS"] = "cpu"
+            ndev = int(env.get("BSMAP_TPU_SCALING_NDEV", 8))
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                                f" --xla_force_host_platform_device_count="
+                                f"{ndev}").strip()
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "scaling_bench.py")],
+                capture_output=True, timeout=1800, text=True, env=env)
+            line = (r.stdout.strip().splitlines() or [""])[-1]
+            print(f"# scaling: {line}", file=sys.stderr, flush=True)
+        except Exception as e:   # noqa: BLE001
+            print(f"# scaling bench failed: {e}", file=sys.stderr,
+                  flush=True)
 
     if os.environ.get("BSMAP_TPU_BENCH_CHR21", "1") != "0":
         # BASELINE config 4 class: 46.7Mb repeat-bearing chromosome

@@ -252,12 +252,46 @@ def run(argv: list[str]) -> int:
             n = run_multihost_pair(o, genome, index)
         else:
             n = run_multihost_se(o, genome, index)
+    elif _wants_local_mp(o):
+        n = run_local_multiprocess(o, argv)
     elif o.query_a and o.query_b:
         from .engine.pair_pipeline import run_pair_end
         n = run_pair_end(o, genome, index)
     else:
         n = run_single_end(o, genome, index)
     print(f"Total time consumed:  {timer.total():.1f} secs")
+    return 0
+
+
+def _wants_local_mp(o: Options) -> bool:
+    """-p N (>1) parallelizes the per-read Python paths (BSP, -R, RRBS,
+    trimming, PE formatting) by local process sharding — the reference's
+    pthread pool (main.cpp:45-131) recast as the byte-exact --nprocs range
+    machinery.  The native SE block path is already pipeline-threaded and
+    device-bound, so -p is a no-op there."""
+    p = o.param
+    if p.num_procs <= 1 or os.environ.get("BSMAP_TPU_LOCAL_MP") == "0":
+        return False
+    block_path = (p.out_sam == 1 and not p.out_ref and not p.RRBS_flag
+                  and not p.adapters and p.qual_threshold == 0
+                  and not (o.query_a and o.query_b))
+    return not block_path
+
+
+def run_local_multiprocess(o: Options, argv: list[str]) -> int:
+    """Spawn -p worker processes over contiguous read ranges (each takes
+    the o.nprocs > 1 branch); output is merged byte-identical."""
+    import subprocess
+
+    n = o.param.num_procs
+    procs = []
+    for k in range(n):
+        cmd = [sys.executable, "-m", "bsmap_tpu.cli"] + argv + [
+            "--nprocs", str(n), "--proc-id", str(k)]
+        procs.append(subprocess.Popen(cmd))
+    rc = [q.wait() for q in procs]
+    if any(rc):
+        sys.exit(f"worker process failed: {rc}")
     return 0
 
 

@@ -127,6 +127,9 @@ class Cfg(NamedTuple):
                            # kmer table carries global+local counts, and
                            # counts/early-exit/selection merge with
                            # psum/pmin/all_gather over this mesh axis
+    nw: int = FIXELEMENT   # packed words per read this dispatch: 7 when
+                           # every read is <= 112 nt (25% less H2D, 8 vs 11
+                           # reference-word gathers in verify), else 10
 
     @property
     def nch(self) -> int:
@@ -172,19 +175,18 @@ def _satadd_scan(x):
 
 def _seed_array_w(qw, S, P):
     """Base-3 collapsed seed value at every read offset (align.cpp:97-105),
-    computed from the 2-bit packed words: static funnel-shift window per
-    offset, T(11)->C(01) lane collapse, then base-3 accumulation of the top
-    S lanes."""
+    computed from the 2-bit packed words: vectorized funnel-shift windows
+    (one fancy-index per operand instead of P scalar slices), T(11)->C(01)
+    lane collapse, then base-3 accumulation of the top S lanes."""
     B, F = qw.shape
     qwp = jnp.concatenate([qw, jnp.zeros((B, 1), jnp.uint32)], axis=1)
-    wins = []
-    for pos in range(P):
-        k, zz = pos >> 4, (pos & 15) * 2
-        w = qwp[:, k] if zz == 0 else \
-            (qwp[:, k] << jnp.uint32(zz)) | (qwp[:, k + 1] >>
-                                             jnp.uint32(32 - zz))
-        wins.append(w)
-    w = jnp.stack(wins, axis=1)                             # (B, P)
+    pos = np.arange(P)
+    karr = jnp.asarray(pos >> 4, dtype=jnp.int32)
+    zz = jnp.asarray(((pos & 15) * 2), dtype=jnp.uint32)[None, :]
+    a = qwp[:, karr]                                        # (B, P)
+    b = qwp[:, karr + 1]
+    bs = b >> (jnp.uint32(32) - jnp.maximum(zz, jnp.uint32(1)))
+    w = jnp.where(zz == 0, a, (a << zz) | bs)
     t = w & (w >> jnp.uint32(1)) & jnp.uint32(0x55555555)   # lanes == 11
     cw = w ^ (t << jnp.uint32(1))                           # T -> C (01)
     acc = jnp.zeros((B, P), dtype=jnp.int32)
@@ -234,7 +236,7 @@ def _rc_words(cfg: Cfg, qw, rw, lens):
     zpad = jnp.zeros((B, F), jnp.uint32)
     rcp = jnp.concatenate([rev_lanes(comp)[:, ::-1], zpad], axis=1)
     rrp = jnp.concatenate([rev_lanes(rw)[:, ::-1], zpad], axis=1)
-    sh = (FIXSIZE - lens).astype(jnp.int32)
+    sh = (16 * F - lens).astype(jnp.int32)
     k0 = sh >> 4
     z = ((sh & 15) * 2).astype(jnp.uint32)[:, None]
     idx = k0[:, None] + jnp.arange(F, dtype=jnp.int32)[None, :]
@@ -282,9 +284,7 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
         # every device computes the identical schedule), enumeration uses
         # the LOCAL shard counts (cols 4, 2, and offsets 0/3)
         rows = _rowg(d_kmer_tab, sarr)              # (B, P, 4|6) int32
-        o0, cnt, wc, o3 = (rows[..., 0], rows[..., 1], rows[..., 2],
-                           rows[..., 3])
-        cnt_enum = rows[..., 4] if rows.shape[-1] > 4 else cnt
+        cnt = rows[..., 1]
         if cfg.rrbs:
             # RRBS: one probed position per segment (I=1), no offset scan
             # or refinement; segments ordered by RAW bucket size
@@ -298,8 +298,7 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
             order = jnp.argsort(key_hi, axis=1,
                                 stable=True).astype(jnp.int32)
             start_arr = jnp.zeros((B, MS), jnp.int32)
-            return (start_arr, order, o0, cnt_enum, wc, o3,
-                    jnp.zeros((B,), jnp.int32))
+            return (start_arr, order, rows, jnp.zeros((B,), jnp.int32))
         # reference cost includes the +2 CSR header slots (dbseq.cpp:381).
         # Sums are WRAPPING uint32 like the reference's bit32_t totals
         # (align.cpp:455,507).
@@ -322,7 +321,9 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
         s_off = jnp.where(max_off > 0,
                           jnp.argmin(tot_m, axis=1), 0).astype(jnp.int32)
 
-        # zig-zag per-segment refinement (align.cpp:506-547)
+        # zig-zag per-segment refinement (align.cpp:506-547), unrolled:
+        # MS is small and static, and fori_loop's while-lowering blocks XLA
+        # fusion (~26 ms/dispatch measured for 3 iterations)
         def zig_body(it, start_arr):
             half = it // 2
             ptr = jnp.where(it % 2 == 0, half, seedseg - 1 - half)
@@ -342,7 +343,8 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
             return jnp.where(onehot, best[:, None], start_arr)
 
         start_arr = jnp.broadcast_to(s_off[:, None], (B, MS))
-        start_arr = jax.lax.fori_loop(0, MS, zig_body, start_arr)
+        for it in range(MS):
+            start_arr = zig_body(it, start_arr)
 
         # segment ordering cheapest-bucket-first (seedindex align.cpp:471-503)
         # std::sort on pair<int,int>(cost, n): cost compared as SIGNED int,
@@ -351,7 +353,7 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
         cost_s = cost_n ^ jnp.uint32(0x80000000)    # order uint as int32
         key_hi = jnp.where(seg_mask, cost_s, BIGU)
         order = jnp.argsort(key_hi, axis=1, stable=True).astype(jnp.int32)
-        return start_arr, order, o0, cnt_enum, wc, o3, s_off
+        return start_arr, order, rows, s_off
 
     # per-chain RRBS position shift: the RC chain probes a + (len % S)
     # (align.cpp:175-251 cseed_offset); 0 for WGBS and forward chains
@@ -373,7 +375,7 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
     slot_cs = jnp.tile(jnp.repeat(jnp.arange(nch, dtype=jnp.int32), I), MS)
     slot_phase = jnp.tile(jnp.arange(I, dtype=jnp.int32), nch * MS)
 
-    def slot_desc(start_arr, order, o0_p, cnt_p, wc_p, o3_p, koff, is_rc):
+    def slot_desc(start_arr, order, rows_p, koff, is_rc):
         mode = _taa(order, jnp.broadcast_to(slot_rank[None, :], (B, NB)))
         a = _g1(prof_a, mode * I + slot_phase[None, :])
         st = _taa(start_arr, mode)
@@ -389,11 +391,17 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
             want = jnp.where(is_rc, lens[:, None] // S - 1 - mode, mode)
         else:
             want = mode
-        return (_taa(o0_p, k_c), jnp.where(fresh, _taa(cnt_p, k_c), 0),
-                _taa(wc_p, k_c), _taa(o3_p, k_c), h, want)
+        # one consolidated row gather for all slot-table columns (separate
+        # per-column gathers cost ~67 ms/dispatch at B=65536)
+        ncol = rows_p.shape[-1]
+        flat = jnp.arange(B, dtype=jnp.int32)[:, None] * P + k_c
+        rs = _rowg(rows_p.reshape(B * P, ncol), flat)       # (B, NB, ncol)
+        cnt_col = 4 if ncol > 4 else 1
+        return (rs[..., 0], jnp.where(fresh, rs[..., cnt_col], 0),
+                rs[..., 2], rs[..., 3], h, want)
 
-    descs = [slot_desc(st, o, o0p, cp, wp, o3p, koff, bool(is_rc))
-             for (st, o, o0p, cp, wp, o3p, _), koff, is_rc in zip(
+    descs = [slot_desc(st, o, rp, koff, bool(is_rc))
+             for (st, o, rp, _), koff, is_rc in zip(
                  scheds, koffs,
                  [cfg.chains_mode == "r"] if nch == 1 else [False, True])]
     if nch == 2:
@@ -414,8 +422,8 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
         (slot_rank[None, :] <= maxrank[:, None])
     cnt = jnp.where(valid, cnt, 0)
     # MateState carry: per-chain chosen global start offsets (s_off / c_off)
-    s_off_out = scheds[0][6]
-    c_off_out = scheds[-1][6] if cfg.chains_mode != "f" else \
+    s_off_out = scheds[0][3]
+    c_off_out = scheds[-1][3] if cfg.chains_mode != "f" else \
         jnp.zeros((B,), jnp.int32)
     if cfg.chains_mode == "r":
         s_off_out = jnp.zeros((B,), jnp.int32)
@@ -495,21 +503,22 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
         g = entry + g_h.astype(jnp.uint32)                  # (CANDS,) uint32
 
     # --- gather + phase-align the reference windows (11 x 1-D gathers) ------
+    NW = cfg.nw
     wbase = ((g >> 4).astype(jnp.int32)
              + jnp.where(crick, jnp.int32(W), 0))
-    wbase = jnp.clip(wbase, 0, 2 * W - FIXELEMENT - 1)
+    wbase = jnp.clip(wbase, 0, 2 * W - NW - 1)
     words = jnp.stack([_g1(d_catcat, wbase + k)
-                       for k in range(FIXELEMENT + 1)], axis=1)
+                       for k in range(NW + 1)], axis=1)
     z = g & 15
     sl = (z * 2)[:, None]
-    w_lo = words[:, :FIXELEMENT] << sl
+    w_lo = words[:, :NW] << sl
     w_hi = words[:, 1:] >> (jnp.uint32(32) - sl)
-    sref = jnp.where(sl == 0, words[:, :FIXELEMENT], w_lo | w_hi)
+    sref = jnp.where(sl == 0, words[:, :NW], w_lo | w_hi)
 
     # --- CountMismatch lanes (align.h:167-200) ------------------------------
     qrow = rid * nch + (chain if nch == 2 else 0)
-    q = _rowg(qw.reshape(B * nch, FIXELEMENT), qrow)
-    r = _rowg(rw.reshape(B * nch, FIXELEMENT), qrow)
+    q = _rowg(qw.reshape(B * nch, NW), qrow)
+    r = _rowg(rw.reshape(B * nch, NW), qrow)
     xc = ((~sref) << jnp.uint32(1)) | sref | jnp.uint32(0x55555555)
     x = ((q & xc) ^ sref) & r
     lanes = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
@@ -854,13 +863,13 @@ def _pack_inputs(codes, regs, lens, buds, rand32, maxrank):
 
 
 def _unpack_inputs(packed):
-    qw = jax.lax.bitcast_convert_type(packed[:, :FIXELEMENT], jnp.uint32)
-    rw = jax.lax.bitcast_convert_type(packed[:, FIXELEMENT: 2 * FIXELEMENT],
-                                      jnp.uint32)
-    lens = packed[:, SC_LEN]
-    buds = packed[:, SC_BUD]
-    rand32 = jax.lax.bitcast_convert_type(packed[:, SC_RAND], jnp.uint32)
-    maxrank = packed[:, SC_RANK]
+    nw = (packed.shape[1] - 4) // 2
+    qw = jax.lax.bitcast_convert_type(packed[:, :nw], jnp.uint32)
+    rw = jax.lax.bitcast_convert_type(packed[:, nw: 2 * nw], jnp.uint32)
+    lens = packed[:, 2 * nw]
+    buds = packed[:, 2 * nw + 1]
+    rand32 = jax.lax.bitcast_convert_type(packed[:, 2 * nw + 2], jnp.uint32)
+    maxrank = packed[:, 2 * nw + 3]
     return qw, rw, lens, buds, rand32, maxrank
 
 
@@ -1019,12 +1028,19 @@ class DeviceEngine:
         self.CANDS = self.cands_tiers[0]
         self.CANDS_BIG = self.cands_tiers[-1]
         self.tier_start = 0
+        # progressive-sensitivity start rank: 0 = probe only the cheapest
+        # segment first (most reads on clean data resolve there); bumped to
+        # maxseg-1 (enumerate all segments in one pass) when a first round
+        # leaves most reads rank-unresolved (error-rich reads escalate
+        # anyway, and one wide dispatch beats several narrow ones)
+        self.rank_start = 0
 
-    def _cfg(self, chains_mode: str, lean: bool = False) -> Cfg:
+    def _cfg(self, chains_mode: str, lean: bool = False,
+             nw: int = FIXELEMENT) -> Cfg:
         p = self.param
         S, I = p.seed_size, p.index_interval
         MS = self._maxseg
-        P = min(FIXSIZE - S + 1, MS * S + 2 * I)
+        P = min(16 * nw - S + 1, MS * S + 2 * I)
         return Cfg(S=S, I=I, maxseg=MS, chains_mode=chains_mode, P=P,
                    max_num_hits=p.max_num_hits,
                    report_repeat_hits=p.report_repeat_hits,
@@ -1033,7 +1049,7 @@ class DeviceEngine:
                    max_ins=p.max_insert,
                    tail=len(p.digest_site) - 2 * p.digest_pos
                    if p.RRBS_flag else 0,
-                   rc=self._rc_tuple, rc_n=self._rc_n_int)
+                   rc=self._rc_tuple, rc_n=self._rc_n_int, nw=nw)
 
     def _chains_mode(self, rsets: np.ndarray) -> str:
         if self.param.chains:
@@ -1195,17 +1211,18 @@ class DeviceEngine:
             self.d_sites, self.d_site_off, jnp.asarray(packed))
 
     def _pad_rows(self, rows, sel, ranks=None):
-        """Zero-padded (B, ROW_I32) window of dispatch rows `sel`, with the
-        per-read enumeration rank written into the maxrank column."""
+        """Zero-padded (B, row_width) window of dispatch rows `sel`, with
+        the per-read enumeration rank written into the maxrank column."""
         m = len(sel)
-        out = np.zeros((self.B, ROW_I32), dtype=np.int32)
+        width = rows.shape[1]
+        out = np.zeros((self.B, width), dtype=np.int32)
         s0 = int(sel[0]) if m else 0
         if m and int(sel[-1]) - s0 + 1 == m:
             out[:m] = rows[s0: s0 + m]          # contiguous: slice copy
         else:
             np.take(rows, sel, axis=0, out=out[:m])
-        out[:m, SC_RANK] = (self._maxseg - 1 if ranks is None
-                            else ranks[sel])
+        out[:m, width - 1] = (self._maxseg - 1 if ranks is None
+                              else ranks[sel])
         return out
 
     def _pad_window(self, arrs, sel, ranks=None):
@@ -1251,8 +1268,9 @@ class DeviceEngine:
         ``read_of(t)`` lazily materializes live row t as a Read (only
         replays and state syncs need it).  Returns
         (out_rows, {row: SEResult for replayed rows})."""
-        lens = rows[:, SC_LEN]
-        buds = rows[:, SC_BUD]
+        in_w = rows.shape[1]
+        lens = rows[:, in_w - 4]
+        buds = rows[:, in_w - 3]
         n = len(lens)
         if risk is None:
             risk = self._stale_risk(lens, buds)
@@ -1266,7 +1284,8 @@ class DeviceEngine:
         # progressive-sensitivity escalation: WGBS SE starts at rank 0 (the
         # cheapest segment usually resolves the read, align.cpp:445-449);
         # PE/RRBS enumerate every segment in one pass
-        init_rank = MS - 1 if (cfg.pe or cfg.rrbs) else 0
+        init_rank = MS - 1 if (cfg.pe or cfg.rrbs) \
+            else min(self.rank_start, MS - 1)
         cur_rank = np.full(n, init_rank, dtype=np.int32)
         # per-read capacity tier into self.cands_tiers; starts at the
         # self-tuned tier and climbs on overflow
@@ -1294,6 +1313,8 @@ class DeviceEngine:
             self.t_enqueue += _time.time() - t0
             next_todo = []
             n_fit = 0
+            n_done = 0
+            n_esc = 0
             for sel, out, tr in pend:
                 t0 = _time.time()
                 orows = np.asarray(out)[: len(sel)]
@@ -1312,9 +1333,11 @@ class DeviceEngine:
                     res = orows[:, 2 * MS + X_RESOLVED] != 0
                 n_fit += int(ok.sum())
                 fin = ok & res
+                n_done += int(fin.sum())
                 out_rows[sel[fin]] = orows[fin]
                 done[sel[fin]] = True
                 esc = sel[ok & ~res]
+                n_esc += len(esc)
                 if len(esc):
                     cur_rank[esc] += 1       # enumerate one more segment
                     next_todo.append(esc)
@@ -1341,6 +1364,12 @@ class DeviceEngine:
                 # start future batches one tier higher (repeat-rich genome)
                 if n_fit < len(todo) // 2:
                     self.tier_start = min(self.tier_start + 1, n_tiers - 1)
+                # self-tune: when most fitting reads stayed rank-unresolved
+                # (error-rich reads), enumerate all segments in one pass for
+                # future batches instead of paying per-rank re-dispatches
+                if (init_rank < MS - 1 and n_done + n_esc > 0
+                        and n_esc > n_done):
+                    self.rank_start = MS - 1
             # every round either completes reads, escalates their rank
             # (bounded by maxseg) or capacity tier (bounded), or re-windows
             # an overflow tail whose head always fits, so this terminates
@@ -1416,10 +1445,14 @@ class DeviceEngine:
         from .. import native
         p = self.param
         lib = native.get_lib()
+        # word count per read: 7 covers reads <= 112 nt (25% less H2D and
+        # 8 instead of 11 reference-word gathers in verify)
+        max_len = int(block.rec[:, 3].max()) if len(block) else 0
+        nw = 7 if min(max_len, p.max_readlen) <= 112 else FIXELEMENT
         rows = native.encode_block_words(
-            lib, block.buf, block.rec, p.alphabet, REG_ALPHABET, FIXELEMENT)
-        lens = rows[:, SC_LEN]
-        ncnt = rows[:, SC_RANK]          # encoder parks the N count here
+            lib, block.buf, block.rec, p.alphabet, REG_ALPHABET, nw)
+        lens = rows[:, 2 * nw]
+        ncnt = rows[:, 2 * nw + 3]       # encoder parks the N count here
         live = (lens >= p.min_read_size) & (ncnt <= p.max_ns)
         live_pos = np.nonzero(live)[0]
         self.n_filtered += len(block) - len(live_pos)
@@ -1427,17 +1460,18 @@ class DeviceEngine:
         if n == 0:
             return live_pos, np.zeros((0, 2), np.int32), {}
         rows_l = rows[live_pos]
-        lens_l = rows_l[:, SC_LEN]
+        lens_l = rows_l[:, 2 * nw]
         buds = ((p.max_snp_num + 1) * (lens_l - 1) // lens_l).astype(np.int32)
-        rows_l[:, SC_BUD] = buds
-        rows_l[:, SC_RAND] = (0 if p.randseed == 0 else myrand_hash(
+        rows_l[:, 2 * nw + 1] = buds
+        rows_l[:, 2 * nw + 2] = (0 if p.randseed == 0 else myrand_hash(
             block.indices[live_pos], p.randseed).astype(np.uint32).view(
             np.int32))
-        rows_l[:, SC_RANK] = 0
+        rows_l[:, 2 * nw + 3] = 0
         risk = self._stale_risk(lens_l, buds)
         lean = not risk.any()
         cfg = self._cfg("b" if p.chains
-                        else ("r" if block.readset == 2 else "f"), lean=lean)
+                        else ("r" if block.readset == 2 else "f"), lean=lean,
+                        nw=nw)
         out_rows, replays = self._align_arrays(
             cfg, rows_l, lambda t: block.read_obj(int(live_pos[t])),
             risk=risk)

@@ -90,10 +90,9 @@ class PairDeviceEngine:
         if param.RRBS_flag:
             raise EngineUnsupported("device PE: RRBS runs on the host engine")
         if param.randseed == 0:
-            raise EngineUnsupported("device PE needs -S != 0")
-        if param.adapters or param.qual_threshold != 0:
-            raise EngineUnsupported("device PE: trimming configs run on the "
-                                    "host engine (filter_read mutates reads)")
+            raise EngineUnsupported(
+                "device PE needs -S != 0 (the PE myrand consumption order "
+                "spans pair + unpaired draws; host engine preserves it)")
         self.param = param
         self.se = DeviceEngine(genome, index, param)
         self.pair_host = PairHostEngine(self.se.host)   # exact replay path

@@ -185,10 +185,12 @@ class IndexShardedEngine(DeviceEngine):
                 np.asarray(getattr(self, name)), rep))
         self._rep = rep
 
-    def _cfg(self, chains_mode: str, lean: bool = False) -> Cfg:
+    def _cfg(self, chains_mode: str, lean: bool = False,
+             nw: int | None = None) -> Cfg:
         # full rows only (the lean 2-int32 layout lacks the fields the
         # replay/state machinery reads); block path repacks to lean after
-        return super()._cfg(chains_mode, lean=False)._replace(
+        kw = {} if nw is None else {"nw": nw}
+        return super()._cfg(chains_mode, lean=False, **kw)._replace(
             shard_axis=self.axis)
 
     def _dispatch(self, cfg: Cfg, packed, cands: int | None = None):

@@ -79,3 +79,18 @@ def test_two_process_pe_equals_one(dist_pe_data):
                                 "--proc-id", "0"])
     assert p0.wait() == 0 and p1.wait() == 0
     assert (d / "one.sam").read_bytes() == (d / "two.sam").read_bytes()
+
+
+def test_p_flag_local_multiprocess_bsp(dist_data):
+    """-p N on a per-read path (BSP output) shards locally and merges
+    byte-identical to -p 1 (the reference's C18 thread pool recast)."""
+    import os
+    d = dist_data
+    env = dict(os.environ)
+    for out, extra in (("one.bsp", ["-p", "1"]), ("two.bsp", ["-p", "2"])):
+        cmd = [sys.executable, "-m", "bsmap_tpu.cli", "-a", str(d / "rm.fq"),
+               "-d", str(d / "g.fa"), "-o", str(d / out), "-S", "1",
+               "-v", "2", "--engine", "host"] + extra
+        r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True)
+        assert r.returncode == 0, r.stderr.decode()
+    assert (d / "one.bsp").read_bytes() == (d / "two.bsp").read_bytes()
