@@ -197,7 +197,13 @@ def get_index(o: Options, genome, log=print):
         path = os.path.join(o.index_cache, f"idx_{key}.npz")
         if os.path.exists(path):
             log(f"loading cached index {path}")
-            return load_index(path)
+            try:
+                # memory-mapped: N local -p workers share one page-cached
+                # copy instead of N private heaps (main.cpp:45-131 shares
+                # one index across threads)
+                return load_index(path, mmap=True)
+            except ValueError:       # old compressed-format cache
+                return load_index(path)
         idx = build_index(genome, p)
         save_index(path, idx)
         return idx

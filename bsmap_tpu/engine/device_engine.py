@@ -89,6 +89,15 @@ CANDS_PER_READ = int(_os.environ.get("BSMAP_TPU_CANDS_PER_READ", 2))
 CANDS_BIG_PER_READ = int(_os.environ.get("BSMAP_TPU_CANDS_BIG_PER_READ", 16))
 BIGLEVEL = 99
 SATLIM = np.uint32(1 << 30)    # saturating-cumsum fixed point (overflow guard)
+# kernel-variant switches (measured on-chip; see PERF.md):
+#   sg  = one sliced lax.gather for the reference words instead of NW+1
+#         separate 1-D gathers
+#   cs  = schedule cost lookups gather a dedicated 1-D count table and only
+#         the NB chosen slots touch the 16B bucket rows (halves the
+#         random-gather traffic of stage 1)
+#   dd2 = 2-entry dedup hash cascade instead of 3 (replay on miss)
+_KVAR = set(filter(None, _os.environ.get(
+    "BSMAP_TPU_KVAR", "").split(",")))
 
 
 class EngineUnsupported(ImportError):
@@ -127,6 +136,11 @@ class Cfg(NamedTuple):
                            # kmer table carries global+local counts, and
                            # counts/early-exit/selection merge with
                            # psum/pmin/all_gather over this mesh axis
+    probe: bool = False    # totals-only pre-pass: run stage 1 and return
+                           # each read's full-rank candidate total, so the
+                           # host can bin-pack verify dispatches exactly
+                           # (repeat-heavy genomes; the reference's answer
+                           # is cheap-segment-first ordering align.cpp:471)
     nw: int = FIXELEMENT   # packed words per read this dispatch: 7 when
                            # every read is <= 112 nt (25% less H2D, 8 vs 11
                            # reference-word gathers in verify), else 10
@@ -254,7 +268,7 @@ def _rc_words(cfg: Cfg, qw, rw, lens):
     return cqw, crw
 
 
-def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
+def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
                    qw0, rw0, lens, budgets, maxrank):
     B = qw0.shape[0]
     S, I, P, MS = cfg.S, cfg.I, cfg.P, cfg.maxseg
@@ -277,14 +291,23 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
 
     def chain_schedule(cwords, koff):
         sarr = _seed_array_w(cwords, S, P)          # (B, P) int32
-        # per-position bucket rows: the only random-access gather of stage 1.
-        # row = [watson_off, total_count, watson_count, crick_off]; under
-        # index sharding two extra columns: [.., local_total, local_crick] —
-        # cost/schedule math uses the GLOBAL total (col 1, replicated so
-        # every device computes the identical schedule), enumeration uses
-        # the LOCAL shard counts (cols 4, 2, and offsets 0/3)
-        rows = _rowg(d_kmer_tab, sarr)              # (B, P, 4|6) int32
-        cnt = rows[..., 1]
+        # per-position bucket costs: the only random-access gather of
+        # stage 1.  Bucket row = [watson_off, total_count, watson_count,
+        # crick_off]; under index sharding two extra columns:
+        # [.., local_total, local_crick] — cost/schedule math uses the
+        # GLOBAL total (col 1 / the d_kcnt table, replicated so every
+        # device computes the identical schedule), enumeration uses the
+        # LOCAL shard counts (cols 4, 2, and offsets 0/3).
+        if "cs" in _KVAR:
+            # count-split: schedule costs come from the dedicated 1-D count
+            # table (4 B/probe); only the NB chosen slots gather 16 B rows
+            # (in slot_desc, via the seed value) — half the stage-1 gather
+            # traffic
+            rows = sarr
+            cnt = _g1(d_kcnt, sarr)                 # (B, P) int32
+        else:
+            rows = _rowg(d_kmer_tab, sarr)          # (B, P, 4|6) int32
+            cnt = rows[..., 1]
         if cfg.rrbs:
             # RRBS: one probed position per segment (I=1), no offset scan
             # or refinement; segments ordered by RAW bucket size
@@ -393,9 +416,14 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
             want = mode
         # one consolidated row gather for all slot-table columns (separate
         # per-column gathers cost ~67 ms/dispatch at B=65536)
-        ncol = rows_p.shape[-1]
-        flat = jnp.arange(B, dtype=jnp.int32)[:, None] * P + k_c
-        rs = _rowg(rows_p.reshape(B * P, ncol), flat)       # (B, NB, ncol)
+        if "cs" in _KVAR:
+            sv = _taa(rows_p, k_c)                          # seed values
+            rs = _rowg(d_kmer_tab, sv)                      # (B, NB, ncol)
+            ncol = rs.shape[-1]
+        else:
+            ncol = rows_p.shape[-1]
+            flat = jnp.arange(B, dtype=jnp.int32)[:, None] * P + k_c
+            rs = _rowg(rows_p.reshape(B * P, ncol), flat)   # (B, NB, ncol)
         cnt_col = 4 if ncol > 4 else 1
         return (rs[..., 0], jnp.where(fresh, rs[..., cnt_col], 0),
                 rs[..., 2], rs[..., 3], h, want)
@@ -415,19 +443,30 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
     else:
         off0, cnt, wcnt, off3, h, wantv = descs[0]
 
+    # per-rank cumulative candidate totals (clamped; anything >= the clamp
+    # is replay territory anyway): the host's exact bin-packing input —
+    # column r = what a maxrank=r dispatch would enumerate for this read
+    seg_ok = slot_rank[None, :] < seedseg[:, None]
+    cnt_full = jnp.where(seg_ok, cnt, 0)
+    cnt_cl = jnp.minimum(cnt_full.astype(jnp.uint32),
+                         jnp.uint32(1 << 27)).astype(jnp.int32)
+    slot_rank_np = np.repeat(np.arange(MS), cfg.nch * I)   # static layout
+    onehot = np.zeros((len(slot_rank_np), MS), dtype=np.int32)
+    onehot[np.arange(len(slot_rank_np)), slot_rank_np] = 1
+    per_rank = cnt_cl @ jnp.asarray(onehot)              # (B, MS) via MXU
+    ftot_rank = jnp.minimum(jnp.cumsum(per_rank, axis=1), 1 << 27)
     # progressive-sensitivity escalation: only ranks <= maxrank enumerate
     # candidates this pass (the reference's per-segment early exit recast
-    # as batched passes; unresolved reads re-dispatch at maxrank+1)
-    valid = (slot_rank[None, :] < seedseg[:, None]) & \
-        (slot_rank[None, :] <= maxrank[:, None])
-    cnt = jnp.where(valid, cnt, 0)
+    # as batched passes; unresolved reads re-dispatch at full rank)
+    cnt = jnp.where(slot_rank[None, :] <= maxrank[:, None], cnt_full, 0)
     # MateState carry: per-chain chosen global start offsets (s_off / c_off)
     s_off_out = scheds[0][3]
     c_off_out = scheds[-1][3] if cfg.chains_mode != "f" else \
         jnp.zeros((B,), jnp.int32)
     if cfg.chains_mode == "r":
         s_off_out = jnp.zeros((B,), jnp.int32)
-    return qw, rw, h, off0, off3, wcnt, cnt, wantv, s_off_out, c_off_out
+    return (qw, rw, h, off0, off3, wcnt, cnt, wantv, s_off_out, c_off_out,
+            ftot_rank)
 
 
 # ---------------------------------------------------------------------------
@@ -437,11 +476,14 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, rc_code, rc_n_code,
 def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
                  d_rcoff, d_wlocs, d_clocs, d_tags, d_sites, d_site_off,
                  qw, rw, lens, budgets, rand32, maxrank,
-                 h, off0, off3, wcnt, cnt, wantv, s_off, c_off,
+                 h, off0, off3, wcnt, cnt, wantv, s_off, c_off, ftot,
                  bounds=None):
     B = qw.shape[0]
     W, NB, nch, I, MS = cfg.W, cfg.NB, cfg.nch, cfg.I, cfg.maxseg
     ax = cfg.shard_axis or None
+    if ax:
+        # bin-packing capacity is per shard: pack by the max local demand
+        ftot = jax.lax.pmax(ftot, ax)
     sidx = jnp.arange(CANDS, dtype=jnp.int32)
 
     # --- global candidate layout: saturating cumsum of slot counts ----------
@@ -507,8 +549,18 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     wbase = ((g >> 4).astype(jnp.int32)
              + jnp.where(crick, jnp.int32(W), 0))
     wbase = jnp.clip(wbase, 0, 2 * W - NW - 1)
-    words = jnp.stack([_g1(d_catcat, wbase + k)
-                       for k in range(NW + 1)], axis=1)
+    if "sg" in _KVAR:
+        # one sliced gather: each candidate pulls its NW+1 consecutive
+        # words in a single gather op (contiguous slices are the gather
+        # shape XLA tiles best) instead of NW+1 separate 1-D gathers
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+        words = jax.lax.gather(
+            d_catcat, wbase[:, None], dn, slice_sizes=(NW + 1,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    else:
+        words = jnp.stack([_g1(d_catcat, wbase + k)
+                           for k in range(NW + 1)], axis=1)
     z = g & 15
     sl = (z * 2)[:, None]
     w_lo = words[:, :NW] << sl
@@ -558,9 +610,10 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     w_u = wloc.astype(jnp.uint32)
     first = jnp.zeros(CANDS, bool)
     unresolved = eligible
-    for m1, m2, m3 in ((0x9E3779B1, 0x85EBCA6B, 0xC2B2AE35),
-                       (0x27D4EB2F, 0x165667B1, 0x9E3779B1),
-                       (0xC2B2AE35, 0x27D4EB2F, 0x85EBCA6B)):
+    _MULS = ((0x9E3779B1, 0x85EBCA6B, 0xC2B2AE35),
+             (0x27D4EB2F, 0x165667B1, 0x9E3779B1),
+             (0xC2B2AE35, 0x27D4EB2F, 0x85EBCA6B))
+    for m1, m2, m3 in (_MULS[:2] if "dd2" in _KVAR else _MULS):
         h = (rid_u * jnp.uint32(m1) + c_u * jnp.uint32(m2)
              + w_u * jnp.uint32(m3))
         h = h ^ (h >> jnp.uint32(16))
@@ -768,10 +821,11 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
         big_any = totals > CANDS
 
     if cfg.lean:
-        # SAM fast path: everything the formatter needs in 8 bytes/read
+        # SAM fast path: everything the formatter needs in 12 bytes/read
         # (the tunnel's device->host path is the throughput wall; see
-        # BIT_* layout below).  ok/overflow bits are computed on device so
-        # the host never needs the totals.
+        # BIT_* layout below).  ok/overflow bits are computed on device;
+        # column 2 carries the full-rank candidate total so the host can
+        # bin-pack any re-dispatch exactly.
         w1 = (found.astype(jnp.int32)
               | (sel_chain << 1)
               | (replay.astype(jnp.int32) << 2)
@@ -781,7 +835,7 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
               | (ii << 6)
               | (sel_chrp << 10)
               | (resolved.astype(jnp.int32) << 26))
-        return jnp.stack([sel_wloc, w1], axis=1)
+        return jnp.stack([sel_wloc, w1, ftot], axis=1)
 
     hit_cols = []
     if cfg.hits_k:
@@ -812,14 +866,15 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
          replay.astype(jnp.int32), totals, s_off, c_off,
          ok_all.astype(jnp.int32),
          big_any.astype(jnp.int32),
-         resolved.astype(jnp.int32)], axis=1)
+         resolved.astype(jnp.int32), ftot], axis=1)
     return jnp.concatenate([counts.reshape(B, 2 * MS), extras] + hit_cols,
                            axis=1)
 
 
-N_EXTRAS = 16
+N_EXTRAS = 17
 (X_FOUND, X_II, X_SSUM, X_CHAIN, X_CHRP, X_WLOC, X_H00F, X_H00C, X_H00W,
- X_REPLAY, X_TOTAL, X_SOFF, X_COFF, X_OK, X_BIG, X_RESOLVED) = range(N_EXTRAS)
+ X_REPLAY, X_TOTAL, X_SOFF, X_COFF, X_OK, X_BIG, X_RESOLVED,
+ X_FTOT) = range(N_EXTRAS)
 
 # lean row bit layout (word 1; word 0 = watson loc), shared with the native
 # formatter (bsmap_native.cpp)
@@ -874,23 +929,30 @@ def _unpack_inputs(packed):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "CANDS"))
-def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, rc_code,
-                        rc_n_code, d_catcat, d_anchors, d_sizes, d_rcoff,
-                        d_wlocs, d_clocs, d_tags, d_sites, d_site_off,
-                        packed, bounds=None):
+def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, d_kcnt,
+                        rc_code, rc_n_code, d_catcat, d_anchors, d_sizes,
+                        d_rcoff, d_wlocs, d_clocs, d_tags, d_sites,
+                        d_site_off, packed, bounds=None):
     """Single-dispatch chunk: schedule + verify fused.  Candidate capacity is
     fixed; reads whose candidates ran past it are detected from the returned
     ok/overflow bits and re-dispatched (or host-replayed when one read
     exceeds it)."""
     qw0, rw0, lens, budgets, rand32, maxrank = _unpack_inputs(packed)
-    (qw, rw, h, off0, off3, wcnt, cnt, wantv, s_off, c_off) = _schedule_impl(
-        cfg, prof_a, d_kmer_tab, rc_code, rc_n_code, qw0, rw0, lens,
+    (qw, rw, h, off0, off3, wcnt, cnt, wantv, s_off, c_off,
+     ftot_rank) = _schedule_impl(
+        cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code, qw0, rw0, lens,
         budgets, maxrank)
+    if cfg.probe:
+        # totals-only pre-pass: stage 1 alone; column r = candidates a
+        # maxrank=r dispatch would enumerate (the bin-packing input)
+        if cfg.shard_axis:
+            ftot_rank = jax.lax.pmax(ftot_rank, cfg.shard_axis)
+        return ftot_rank
     return _verify_impl(cfg, CANDS, d_catcat, d_anchors, d_sizes, d_rcoff,
                         d_wlocs, d_clocs, d_tags, d_sites, d_site_off,
                         qw, rw, lens, budgets, rand32, maxrank, h,
                         off0, off3, wcnt, cnt, wantv, s_off, c_off,
-                        bounds=bounds)
+                        ftot_rank[:, -1], bounds=bounds)
 
 
 # ---------------------------------------------------------------------------
@@ -984,6 +1046,11 @@ class DeviceEngine:
             self.d_sites = put(jnp.asarray(one))
             self.d_site_off = put(jnp.asarray(
                 np.zeros(genome.n_chr + 1, dtype=np.int32)))
+        # dedicated 1-D bucket-count table (kernel variant "cs"): schedule
+        # cost probes gather 4 B/position instead of 16 B rows
+        self.d_kcnt = put(jnp.asarray(
+            counts.astype(np.int32) if "cs" in _KVAR
+            else one.astype(np.int32)))
         I = param.index_interval
         self.prof_a = put(jnp.asarray(
             [[param.profile[n][i].a for i in range(I)]
@@ -997,6 +1064,11 @@ class DeviceEngine:
         self._rc_n_int = int(param.rev_alphabet[ord("N")])
         self.B = DEV_BATCH             # reads per device dispatch
         self._set_tiers(self.B)
+        import threading
+        self._aot: dict = {}           # (cfg, cap, width) -> Future[exe]
+        self._aot_lock = threading.Lock()
+        self._probe_ok = True          # subclasses whose dispatch wrapper
+                                       # can't take the probe output disable
         self.n_filtered = 0
         self.n_replayed = 0
         self.n_dispatched = 0
@@ -1005,6 +1077,8 @@ class DeviceEngine:
         # for device rows
         self.t_enqueue = 0.0
         self.t_collect = 0.0
+        self.t_h2d = 0.0        # host->device transfer enqueue inside dispatch
+        self.t_call = 0.0       # executable call (dispatch proper)
         # MateState bookkeeping for stale-schedule reads (see module
         # docstring); lazily reconstructed from spans of device-handled reads
         self._maxseg = min(MAXSNPS, param.max_snp_num) + 1
@@ -1015,19 +1089,30 @@ class DeviceEngine:
         self._chrname_buf = np.frombuffer(b"".join(name_bytes), dtype=np.uint8)
         self._chrname_off = np.zeros(len(name_bytes) + 1, dtype=np.int64)
         np.cumsum([len(b) for b in name_bytes], out=self._chrname_off[1:])
+        # persistent context buffer for native XR/BSP formatting (the
+        # reference's _mapseq is stateful across reads: align.h:132, and
+        # its stale leading slots are visible when loc < 2)
+        self._mapseq_buf = np.zeros(256, dtype=np.uint8)
+        self._anchors_i64 = genome.anchors[: genome.n_chr].astype(np.int64)
 
     def _set_tiers(self, b: int) -> None:
-        """Candidate-capacity ladder: dispatches start at the lowest tier
-        (kernel time is ~linear in capacity) and overflowing reads climb;
-        the START tier self-tunes upward when a window's first round leaves
-        most reads unresolved (repeat-heavy genomes like chr21 have
-        power-law bucket sizes: median ~3 candidates/read, p99 ~600)."""
-        mults = sorted({CANDS_PER_READ, 8, max(CANDS_BIG_PER_READ,
-                                               CANDS_PER_READ)})
+        """Two candidate capacities only (each distinct capacity is a
+        separate compiled program, and every program costs a 30-400 s
+        remote compile once per process): a SMALL one for optimistic
+        round-1 windows and a BIG one for exactly bin-packed re-dispatches.
+        Kernel time is ~linear in capacity, so the big program amortizes
+        its cost over a full load of packed candidates."""
+        mults = sorted({CANDS_PER_READ, max(CANDS_BIG_PER_READ,
+                                            CANDS_PER_READ)})
         self.cands_tiers = [m * b for m in mults]
         self.CANDS = self.cands_tiers[0]
         self.CANDS_BIG = self.cands_tiers[-1]
-        self.tier_start = 0
+        self.tier_start = 0            # kept for bench-report compatibility
+        # probe mode (repeat-heavy genomes, self-tuned): round 1 becomes a
+        # cheap stage-1-only totals pre-pass and ALL verify dispatches are
+        # exactly bin-packed — no optimistic overflow rounds at all
+        self.probe_mode = False
+        self.n_probe = 0
         # progressive-sensitivity start rank: 0 = probe only the cheapest
         # segment first (most reads on clean data resolve there); bumped to
         # maxseg-1 (enumerate all segments in one pass) when a first round
@@ -1201,14 +1286,95 @@ class DeviceEngine:
         rsets[:] = [batch[i].readset for i in idxs]
         return codes, regs, lens, buds, rsets, ridx
 
+    # -- AOT executable management -------------------------------------------
+    # The platform's remote-compile path bypasses the XLA persistent cache
+    # (30-400 s per program per process, PERF.md), so compiled executables
+    # are serialized to disk (aot_cache) and all capacity tiers are
+    # prefetched on background threads before the first window dispatches —
+    # no mid-run compile cliffs (the r3 chr21 collapse).
+
+    def _engine_args(self):
+        return (self.prof_a, self.d_kmer_tab, self.d_kcnt, self.rc_code,
+                self.rc_n_code, self.d_catcat, self.d_anchors, self.d_sizes,
+                self.d_rcoff, self.d_wlocs, self.d_clocs, self.d_tags,
+                self.d_sites, self.d_site_off)
+
+    def _get_exec(self, cfg: Cfg, cap: int, width: int):
+        """Compiled executable for (cfg, capacity, input row width); compiles
+        (through the disk AOT cache) on first use, thread-safe."""
+        from concurrent.futures import Future
+        from . import aot_cache
+        key = (cfg, cap, width)
+        with self._aot_lock:
+            fut = self._aot.get(key)
+            mine = fut is None
+            if mine:
+                fut = Future()
+                self._aot[key] = fut
+        if mine:
+            try:
+                sd = jax.ShapeDtypeStruct
+                specs = tuple(sd(a.shape, a.dtype)
+                              for a in self._engine_args())
+                specs += (sd((self.B, width), jnp.int32),)
+                exe = aot_cache.get_compiled(
+                    "align:" + ",".join(sorted(_KVAR)),
+                    _align_fused_kernel, (cfg, cap), specs)
+                fut.set_result(exe)
+            except BaseException as e:  # let waiters fail too, allow retry
+                fut.set_exception(e)
+                with self._aot_lock:
+                    self._aot.pop(key, None)
+                raise
+        return fut.result()
+
+    def _prefetch_tier_execs(self, cfg: Cfg, width: int) -> None:
+        """Start background compiles for every capacity tier of this config
+        so escalations never hit a compile mid-run."""
+        if type(self)._dispatch is not DeviceEngine._dispatch:
+            return    # subclasses with their own dispatch keep the jit path
+        import threading
+        for cap in self.cands_tiers:
+            key = (cfg, cap, width)
+            if key not in self._aot:
+                threading.Thread(target=self._get_exec,
+                                 args=(cfg, cap, width),
+                                 daemon=True).start()
+
     def _dispatch(self, cfg: Cfg, packed, cands: int | None = None):
         """One async kernel dispatch on a packed (B, ROW_I32) window."""
-        return _align_fused_kernel(
-            cfg, self.CANDS if cands is None else cands, self.prof_a,
-            self.d_kmer_tab, self.rc_code,
-            self.rc_n_code, self.d_catcat, self.d_anchors, self.d_sizes,
-            self.d_rcoff, self.d_wlocs, self.d_clocs, self.d_tags,
-            self.d_sites, self.d_site_off, jnp.asarray(packed))
+        cap = self.CANDS if cands is None else cands
+        exe = self._get_exec(cfg, cap, packed.shape[1])
+        t0 = _time.time()
+        dev = jnp.asarray(packed)
+        self.t_h2d += _time.time() - t0
+        t0 = _time.time()
+        out = exe(*self._engine_args(), dev)
+        self.t_call += _time.time() - t0
+        return out
+
+    def warmup_programs(self, chains_mode: str = "f", nw: int = 7,
+                        lean: bool = True, probe: bool = True) -> None:
+        """First-execute every program a run might touch (small + big
+        capacities and the totals probe).  The platform compiles remotely
+        and ASYNCHRONOUSLY — compile() returns immediately and the first
+        execution blocks until the server build finishes — so dispatching
+        all programs before waiting overlaps every compile: total warmup
+        ~= one compile, and no mid-run compile cliffs (the r3 chr21
+        collapse)."""
+        if type(self)._dispatch is not DeviceEngine._dispatch:
+            return
+        width = 2 * nw + 4
+        z = np.zeros((self.B, width), dtype=np.int32)
+        z[:, width - 4] = min(100, 16 * nw)   # plausible read length
+        z[:, width - 3] = min(self.param.max_snp_num, MAXSNPS)
+        cfg = self._cfg(chains_mode, lean=lean, nw=nw)
+        outs = [self._dispatch(cfg, z, cap) for cap in self.cands_tiers]
+        if probe and self._probe_ok:
+            pcfg = cfg._replace(probe=True, lean=False, hits_k=0)
+            outs.append(self._dispatch(pcfg, z, 1))
+        for o in outs:
+            np.asarray(o)   # force: the tunnel resolves only at host fetch
 
     def _pad_rows(self, rows, sel, ranks=None):
         """Zero-padded (B, row_width) window of dispatch rows `sel`, with
@@ -1274,107 +1440,197 @@ class DeviceEngine:
         n = len(lens)
         if risk is None:
             risk = self._stale_risk(lens, buds)
+        self._prefetch_tier_execs(cfg, in_w)
 
         # results come back as packed int32 rows, one per live read
         MS = cfg.maxseg
-        width = 2 if cfg.lean else 2 * MS + N_EXTRAS
+        width = 3 if cfg.lean else 2 * MS + N_EXTRAS + 2 * cfg.hits_k
         out_rows = np.zeros((n, width), dtype=np.int32)
         done = np.zeros(n, dtype=bool)
+        served = np.zeros(n, dtype=bool)         # enumerated within capacity
+        ftot = np.zeros(n, dtype=np.int64)       # full-rank candidate totals
+        full_rank = MS - 1
+        FTOT_CLAMP = 1 << 27
 
-        # progressive-sensitivity escalation: WGBS SE starts at rank 0 (the
-        # cheapest segment usually resolves the read, align.cpp:445-449);
-        # PE/RRBS enumerate every segment in one pass
-        init_rank = MS - 1 if (cfg.pe or cfg.rrbs) \
-            else min(self.rank_start, MS - 1)
-        cur_rank = np.full(n, init_rank, dtype=np.int32)
-        # per-read capacity tier into self.cands_tiers; starts at the
-        # self-tuned tier and climbs on overflow
-        n_tiers = len(self.cands_tiers)
-        tier = np.full(n, self.tier_start, dtype=np.uint8)
-        todo = np.arange(n, dtype=np.int64)
-        first_round = True
-        while len(todo):
-            # optimistic windows of B reads; all dispatched before collection
+        def mark_replay(sel):
+            out_rows[sel] = 0
+            if cfg.lean:
+                out_rows[sel, 1] = BIT_REPLAY | BIT_RESOLVED
+            else:
+                out_rows[sel, 2 * MS + X_REPLAY] = 1
+
+        def collect(sel, out):
+            """Collect one dispatch; returns (#done, #ok-but-unresolved)."""
+            t0 = _time.time()
+            orows = np.asarray(out)[: len(sel)]
+            self.t_collect += _time.time() - t0
+            # a read's result is exact iff its whole candidate range fit in
+            # the dispatch capacity (ok bit, computed on device)
+            if cfg.lean:
+                ok = (orows[:, 1] & BIT_OK) != 0
+                res = (orows[:, 1] & BIT_RESOLVED) != 0
+                ftot[sel] = orows[:, 2]
+            else:
+                ok = orows[:, 2 * MS + X_OK] != 0
+                res = orows[:, 2 * MS + X_RESOLVED] != 0
+                ftot[sel] = orows[:, 2 * MS + X_FTOT]
+            fin = ok & res
+            out_rows[sel[fin]] = orows[fin]
+            done[sel[fin]] = True
+            served[sel[ok]] = True
+            return int(fin.sum()), int((ok & ~res).sum())
+
+        # --- round 1: either optimistic full windows at the small capacity
+        # (clean data: nearly every read finishes in one pass) or, in probe
+        # mode (repeat-heavy genomes), a stage-1-only totals pre-pass -------
+        probing = (self.probe_mode and self._probe_ok
+                   and not (cfg.pe or cfg.rrbs))
+        init_rank = full_rank if (cfg.pe or cfg.rrbs) \
+            else min(self.rank_start, full_rank)
+        cap_max = min(self.CANDS_BIG, FTOT_CLAMP - 1)
+
+        def dispatch_packs(rem, demand, maxrank):
+            """Exactly bin-packed dispatches over reads `rem` (batch order)
+            whose per-read candidate demand at this maxrank is `demand`."""
+            d = np.maximum(np.asarray(demand, dtype=np.int64), 1)
+            csum = np.cumsum(d)
+            spans = []
+            s = 0
+            base = 0
+            for k in range(len(rem)):
+                if k - s == self.B or csum[k] - base > self.CANDS_BIG:
+                    spans.append((s, k))
+                    s = k
+                    base = csum[k - 1]
+            spans.append((s, len(rem)))
             pend = []
             t0 = _time.time()
-            for tr in range(n_tiers):
-                sub = todo[tier[todo] == tr]
-                cap = self.cands_tiers[tr]
-                for i in range(0, len(sub), self.B):
-                    sel = sub[i: i + self.B]
-                    out = self._dispatch(cfg, self._pad_rows(rows, sel,
-                                                             cur_rank), cap)
-                    try:
-                        out.copy_to_host_async()
-                    except Exception:
-                        pass
-                    pend.append((sel, out, tr))
-                    self.n_dispatched += 1
+            ranks = np.full(n, maxrank, dtype=np.int32)
+            for a, b in spans:
+                sel = rem[a: b]
+                mass = int(csum[b - 1] - (csum[a - 1] if a else 0))
+                cap = self.CANDS if mass <= self.CANDS else self.CANDS_BIG
+                out = self._dispatch(cfg, self._pad_rows(rows, sel, ranks),
+                                     cap)
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
+                pend.append((sel, out))
+                self.n_dispatched += 1
             self.t_enqueue += _time.time() - t0
-            next_todo = []
-            n_fit = 0
-            n_done = 0
-            n_esc = 0
-            for sel, out, tr in pend:
-                t0 = _time.time()
-                orows = np.asarray(out)[: len(sel)]
-                self.t_collect += _time.time() - t0
-                # a read's result is exact iff its whole candidate range fit
-                # in the dispatch capacity (ok bit, computed on device); a
-                # read that alone exceeds capacity (big bit) escalates to
-                # the next tier, then to exact host replay
-                if cfg.lean:
-                    ok = (orows[:, 1] & BIT_OK) != 0
-                    big = (orows[:, 1] & BIT_BIG) != 0
-                    res = (orows[:, 1] & BIT_RESOLVED) != 0
-                else:
-                    ok = orows[:, 2 * MS + X_OK] != 0
-                    big = orows[:, 2 * MS + X_BIG] != 0
-                    res = orows[:, 2 * MS + X_RESOLVED] != 0
-                n_fit += int(ok.sum())
-                fin = ok & res
-                n_done += int(fin.sum())
-                out_rows[sel[fin]] = orows[fin]
-                done[sel[fin]] = True
-                esc = sel[ok & ~res]
-                n_esc += len(esc)
-                if len(esc):
-                    cur_rank[esc] += 1       # enumerate one more segment
-                    next_todo.append(esc)
-                bad = sel[~ok]
-                if len(bad):
-                    bigbad = sel[~ok & big]
-                    grow = bigbad[tier[bigbad] < n_tiers - 1]
-                    if len(grow):
-                        tier[grow] += 1
-                        next_todo.append(grow)
-                    for k in bigbad[~np.isin(bigbad, grow)]:
-                        out_rows[k] = 0
-                        if cfg.lean:
-                            out_rows[k, 1] = BIT_REPLAY | BIT_RESOLVED
-                        else:
-                            out_rows[k, 2 * MS + X_REPLAY] = 1
-                        done[k] = True
-                    rest = bad[~np.isin(bad, bigbad)]
-                    if len(rest):
-                        next_todo.append(rest)
-            if first_round and n:
-                first_round = False
-                # self-tune: when most of a batch overflows the start tier,
-                # start future batches one tier higher (repeat-rich genome)
-                if n_fit < len(todo) // 2:
-                    self.tier_start = min(self.tier_start + 1, n_tiers - 1)
-                # self-tune: when most fitting reads stayed rank-unresolved
-                # (error-rich reads), enumerate all segments in one pass for
-                # future batches instead of paying per-rank re-dispatches
-                if (init_rank < MS - 1 and n_done + n_esc > 0
-                        and n_esc > n_done):
-                    self.rank_start = MS - 1
-            # every round either completes reads, escalates their rank
-            # (bounded by maxseg) or capacity tier (bounded), or re-windows
-            # an overflow tail whose head always fits, so this terminates
-            todo = (np.concatenate(next_todo)
-                    if next_todo else np.zeros(0, dtype=np.int64))
+            nd = ne = 0
+            for sel, out in pend:
+                d_, e_ = collect(sel, out)
+                nd += d_
+                ne += e_
+            return nd, ne
+
+        def probe_rank_totals(rem):
+            """Stage-1-only pre-pass over reads `rem`: (len(rem), maxseg)
+            per-rank cumulative candidate totals."""
+            pend = []
+            t0 = _time.time()
+            pcfg = cfg._replace(probe=True, lean=False, hits_k=0)
+            for i in range(0, len(rem), self.B):
+                sel = rem[i: i + self.B]
+                out = self._dispatch(pcfg, self._pad_rows(rows, sel, None),
+                                     1)
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
+                pend.append((i, sel, out))
+                self.n_probe += 1
+            self.t_enqueue += _time.time() - t0
+            ftr = np.zeros((len(rem), MS), dtype=np.int64)
+            t0 = _time.time()
+            for i, sel, out in pend:
+                ftr[i: i + len(sel)] = np.asarray(out)[: len(sel)]
+            self.t_collect += _time.time() - t0
+            return ftr
+
+        def packed_rank_rounds(rem, ftr):
+            """Round A at the progressive start rank (most reads resolve at
+            the cheapest segment, align.cpp:445-449), exactly packed; the
+            full-rank round 2 below picks up whatever escalates."""
+            nonlocal n_done, n_esc
+            ftot[rem] = ftr[:, -1]
+            too_big = rem[ftr[:, init_rank] >= cap_max]
+            if len(too_big):
+                mark_replay(too_big)
+                done[too_big] = True
+            live = ~done[rem]
+            rem = rem[live]
+            if len(rem):
+                d, e = dispatch_packs(rem, ftr[live, init_rank], init_rank)
+                n_done += d
+                n_esc += e
+
+        n_done = n_esc = 0
+        n_win = (n + self.B - 1) // self.B
+        if probing:
+            rem = np.arange(n, dtype=np.int64)
+            ftr = probe_rank_totals(rem)
+            if ftr[:, -1].sum() < n_win * self.CANDS // 2:
+                self.probe_mode = False      # genome turned out clean
+            packed_rank_rounds(rem, ftr)
+        else:
+            pend = []
+            t0 = _time.time()
+            ranks = np.full(n, init_rank, dtype=np.int32)
+            for i in range(0, n, self.B):
+                sel = np.arange(i, min(i + self.B, n), dtype=np.int64)
+                out = self._dispatch(cfg, self._pad_rows(rows, sel, ranks),
+                                     self.CANDS)
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
+                pend.append((sel, out))
+                self.n_dispatched += 1
+            self.t_enqueue += _time.time() - t0
+            for sel, out in pend:
+                d, e = collect(sel, out)
+                n_done += d
+                n_esc += e
+            if n:
+                rem_mass = int(ftot[~done].sum())
+                if rem_mass > 2 * n_win * self.CANDS and self._probe_ok:
+                    # most of the demand overflowed the optimistic round:
+                    # repeat-heavy genome — switch to probe + exact packing,
+                    # for THIS call's leftovers too (the r4 chr21 first
+                    # block otherwise pays a full-rank packed sweep)
+                    self.probe_mode = True
+                    # only reads whose enumeration overflowed: already-
+                    # served rank-escapees go straight to round 2
+                    rem = np.nonzero(~done & ~served)[0]
+                    if len(rem) and not (cfg.pe or cfg.rrbs):
+                        packed_rank_rounds(rem, probe_rank_totals(rem))
+
+        # self-tuning (future calls): when rank escalation dominates, start
+        # at full enumeration instead of paying the extra round
+        if n and init_rank < full_rank and n_done + n_esc > 0 \
+                and n_esc > n_done:
+            self.rank_start = full_rank
+
+        # --- round 2: everything unresolved re-dispatches ONCE at full rank
+        # (always exact: the kernel applies the progressive-sensitivity
+        # semantics internally), exactly bin-packed by the totals ------------
+        rem = np.nonzero(~done)[0]
+        if len(rem):
+            too_big = rem[ftot[rem] >= cap_max]
+            if len(too_big):
+                # a single read exceeding the big capacity: exact host replay
+                mark_replay(too_big)
+                done[too_big] = True
+                rem = rem[ftot[rem] < cap_max]
+        if len(rem):
+            dispatch_packs(rem, ftot[rem], full_rank)
+            left = np.nonzero(~done)[0]
+            if len(left):      # defensive: packed dispatches always fit
+                mark_replay(left)
+                done[left] = True
 
         # --- in-order collection with exact MateState maintenance -----------
         if cfg.lean:
@@ -1428,12 +1684,13 @@ class DeviceEngine:
     # -- block fast path (no per-read Python objects) -------------------------
 
     def supports_blocks(self) -> bool:
-        """SAM output without trimming/XR/RRBS runs entirely on the native
-        block path; everything else uses the per-read path."""
+        """SAM, BAM-bound SAM, BSP and -R output without trimming/RRBS run
+        entirely on the native block path (BSP is the reference's DEFAULT
+        output format, main.cpp:293-296); RRBS and trimming configs use the
+        per-read path."""
         from .. import native
         p = self.param
-        return (native.get_lib() is not None and p.out_sam == 1
-                and not p.out_ref and not p.RRBS_flag
+        return (native.get_lib() is not None and not p.RRBS_flag
                 and not p.adapters and p.qual_threshold == 0)
 
     def align_block(self, block):
@@ -1468,14 +1725,17 @@ class DeviceEngine:
             np.int32))
         rows_l[:, 2 * nw + 3] = 0
         risk = self._stale_risk(lens_l, buds)
-        lean = not risk.any()
+        # BSP needs the per-level histograms and XR reads the selection
+        # context — both ride the FULL result rows; plain SAM uses lean rows
+        plain_sam = p.out_sam >= 1 and not p.out_ref
+        lean = plain_sam and not risk.any()
         cfg = self._cfg("b" if p.chains
                         else ("r" if block.readset == 2 else "f"), lean=lean,
                         nw=nw)
         out_rows, replays = self._align_arrays(
             cfg, rows_l, lambda t: block.read_obj(int(live_pos[t])),
             risk=risk)
-        if not cfg.lean:
+        if not cfg.lean and plain_sam:
             out_rows = _pack_rows_lean(out_rows, cfg.maxseg)
         return live_pos, out_rows, replays
 
@@ -1485,6 +1745,96 @@ class DeviceEngine:
         writer thread while the next block aligns)."""
         return self.format_aligned_block(block, self.align_block(block), fmt)
 
+    def _select_vals(self, read, res, fmt):
+        """string_align's selection half (align.cpp:610-627) without the
+        formatting: first nonempty level, reproducible draw (consumed HERE,
+        so the sequential -S 0 stream stays exact), selected hit."""
+        from ..utils import myrand
+        p = self.param
+        ii = ssum = 0
+        for ii in range(res.read_max_snp_num + 1):
+            ssum = int(res.n_hit[ii] + res.n_chit[ii])
+            if ssum > 0:
+                break
+        if ssum == 0:
+            return (0, ii, 0, 0, 0, 0)
+        j = myrand(read.index, p.randseed, fmt.rand_r) % ssum
+        if j < res.n_hit[ii]:
+            chain, hit = 0, res.hits[ii][j]
+        else:
+            chain, hit = 1, res.chits[ii][j - int(res.n_hit[ii])]
+        return (1, ii, ssum, chain, int(hit[0]), int(hit[1]))
+
+    def _format_block_full(self, block, aligned, fmt) -> bytes:
+        """BSP / -R SAM native block formatting over FULL result rows.
+        Host-replayed reads are not text-spliced: their selection runs in
+        Python (drawing from the exact hit lists) and the result is
+        synthesized into a row, so the stateful reference-context buffer
+        (_mapseq stale slots) advances in one place — the native side."""
+        from .. import native
+        p = self.param
+        lib = native.get_lib()
+        live_pos, out_rows, replays = aligned
+        MS = self._maxseg
+        width = 2 * MS + N_EXTRAS
+        n_all = len(block)
+        status = np.ones(n_all, dtype=np.int32)          # 1 = QC-filtered
+        rows_all = np.zeros((n_all, width), dtype=np.int32)
+        status[live_pos] = 2
+        if len(live_pos):
+            rows_all[live_pos] = out_rows[:, :width]
+        rep = sorted((int(live_pos[t]), t) for t in replays)
+        is_replay = np.zeros(n_all, dtype=bool)
+        for pos, _ in rep:
+            is_replay[pos] = True
+        fcum = None
+        if p.randseed == 0:
+            found_dev = ((status == 2) & ~is_replay
+                         & (rows_all[:, 2 * MS + X_FOUND] != 0))
+            fcum = np.concatenate([[0], np.cumsum(found_dev)])
+        prev = 0
+        for pos, t in rep:
+            if fcum is not None:
+                fmt.rand_r.skip(int(fcum[pos] - fcum[prev]))
+                prev = pos
+            res = replays[t]
+            found, ii, ssum, chain, chrp, wloc = self._select_vals(
+                block.read_obj(pos), res, fmt)
+            row = np.zeros(width, dtype=np.int32)
+            row[0: 2 * MS: 2] = res.n_hit[:MS]
+            row[1: 2 * MS: 2] = res.n_chit[:MS]
+            ex = 2 * MS
+            row[ex + X_FOUND] = found
+            row[ex + X_II] = ii
+            row[ex + X_SSUM] = ssum
+            row[ex + X_CHAIN] = chain
+            row[ex + X_CHRP] = chrp
+            row[ex + X_WLOC] = wloc
+            rows_all[pos] = row
+        if fcum is not None:
+            fmt.rand_r.skip(int(fcum[n_all] - fcum[prev]))
+        un = self.param.useful_nt[:4].encode("latin1")
+        total_codes = len(self.genome.refcat) * SEGLEN
+        if p.out_sam >= 1:
+            out, _lo, na = native.format_sam_block_xr(
+                lib, block.buf, block.rec, status,
+                _pack_rows_lean(rows_all, MS)[:, :2],
+                self._chrname_buf, self._chrname_off, REV_CHAR,
+                0x40 * block.readset, bool(p.out_unmap),
+                p.report_repeat_hits, block.synth_qual,
+                self.genome.refcat, total_codes, self._anchors_i64, un,
+                self._mapseq_buf)
+        else:
+            out, _lo, na = native.format_bsp_block(
+                lib, block.buf, block.rec, status, rows_all, MS,
+                self._chrname_buf, self._chrname_off, REV_CHAR,
+                bool(p.out_unmap), p.report_repeat_hits, p.max_snp_num,
+                p.max_num_hits, block.synth_qual,
+                self.genome.refcat, total_codes, self._anchors_i64, un,
+                self._mapseq_buf)
+        fmt.n_aligned += na
+        return out
+
     def format_aligned_block(self, block, aligned, fmt):
         """Format one aligned ReadBlock as SAM bytes via the native
         formatter; replayed reads are formatted exactly in Python and
@@ -1493,13 +1843,15 @@ class DeviceEngine:
         order-free here."""
         from .. import native
         p = self.param
+        if p.out_sam == 0 or p.out_ref:
+            return self._format_block_full(block, aligned, fmt)
         lib = native.get_lib()
         live_pos, out_rows, replays = aligned
         n_all = len(block)
         status = np.ones(n_all, dtype=np.int32)          # 1 = QC-filtered
         rows_all = np.zeros((n_all, 2), dtype=np.int32)
         status[live_pos] = 2
-        rows_all[live_pos] = out_rows
+        rows_all[live_pos] = out_rows[:, :2]
         replay_pos = sorted(int(live_pos[t]) for t in replays)
         rmap = {int(live_pos[t]): t for t in replays}
         status[replay_pos] = 0                           # Python-formatted
@@ -1540,7 +1892,7 @@ class DeviceEngine:
 
 
 def _pack_rows_lean(rows: np.ndarray, maxseg: int) -> np.ndarray:
-    """Repack full kernel rows into the lean 2-int32 layout (BIT_*) for the
+    """Repack full kernel rows into the lean 3-int32 layout (BIT_*) for the
     native SAM formatter."""
     ex = 2 * maxseg
     w1 = ((rows[:, ex + X_FOUND] != 0).astype(np.int32) * BIT_FOUND
@@ -1550,7 +1902,8 @@ def _pack_rows_lean(rows: np.ndarray, maxseg: int) -> np.ndarray:
           | (rows[:, ex + X_SSUM] != 1).astype(np.int32) * BIT_MULTI
           | (rows[:, ex + X_II] << LEAN_II_SHIFT)
           | (rows[:, ex + X_CHRP] << LEAN_CHRP_SHIFT))
-    return np.stack([rows[:, ex + X_WLOC], w1], axis=1).astype(np.int32)
+    return np.stack([rows[:, ex + X_WLOC], w1,
+                     rows[:, ex + X_FTOT]], axis=1).astype(np.int32)
 
 
 class DeviceView:

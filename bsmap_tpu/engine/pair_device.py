@@ -89,10 +89,12 @@ class PairDeviceEngine:
     def __init__(self, genome: PackedGenome, index: SeedIndex, param: Param):
         if param.RRBS_flag:
             raise EngineUnsupported("device PE: RRBS runs on the host engine")
-        if param.randseed == 0:
-            raise EngineUnsupported(
-                "device PE needs -S != 0 (the PE myrand consumption order "
-                "spans pair + unpaired draws; host engine preserves it)")
+        # -S 0 (the reference default) is handled like the SE engine does:
+        # the sequential rand_r draws fire only for a multi-hit pair
+        # (pairs.cpp:235) or an unpaired mate with >1 best hits
+        # (pairs.cpp:258,271) — those pairs replay on the exact host engine
+        # (real hit lists for the formatter's draw); draw-free pairs stay on
+        # device and consume nothing, so the stream stays in sync.
         self.param = param
         self.se = DeviceEngine(genome, index, param)
         self.pair_host = PairHostEngine(self.se.host)   # exact replay path
@@ -242,8 +244,13 @@ class PairDeviceEngine:
             arrs_b = se._pack_host(batch_b, idxs, buds_b0[live_pos])
             ca, ga, la, ba_, _, ridx_a = arrs_a
             cb, gb, lb, bb_, _, ridx_b = arrs_b
-            rand_a = myrand_hash(ridx_a, p.randseed)
-            rand_b = myrand_hash(ridx_b, p.randseed)
+            if p.randseed == 0:
+                # draw-dependent pairs replay below; j = 0 % 1 for the rest
+                rand_a = np.zeros(n, dtype=np.uint32)
+                rand_b = np.zeros(n, dtype=np.uint32)
+            else:
+                rand_a = myrand_hash(ridx_a, p.randseed)
+                rand_b = myrand_hash(ridx_b, p.randseed)
             cfg_a, cfg_b = self._cfg(1), self._cfg(2)
             risk = se._stale_risk(la, ba_) | se._stale_risk(lb, bb_)
 
@@ -293,6 +300,19 @@ class PairDeviceEngine:
             replay_flag = ((rows_a[:, 2 * MS + X_REPLAY] != 0)
                            | (rows_b[:, 2 * MS + X_REPLAY] != 0)
                            | join["cap_replay"] | risk)
+            if p.randseed == 0:
+                # any pair whose output consumes a sequential rand_r draw:
+                # multi-hit winning pair (pairs.cpp:235; -r 0 falls through
+                # to unpaired where the same mates draw), or an unpaired
+                # mate with >1 best-level hits (pairs.cpp:258,271)
+                paired = join["paired"] > 0
+                multi_pair = paired & (join["cnt"] > 1)
+                from .device_engine import X_FOUND, X_SSUM
+                ma = ((rows_a[:, 2 * MS + X_FOUND] != 0)
+                      & (rows_a[:, 2 * MS + X_SSUM] != 1))
+                mb = ((rows_b[:, 2 * MS + X_FOUND] != 0)
+                      & (rows_b[:, 2 * MS + X_SSUM] != 1))
+                replay_flag |= multi_pair | (~paired & (ma | mb))
         else:
             join = None
             replay_flag = np.zeros(0, dtype=bool)

@@ -65,13 +65,58 @@ def _csr_from(seeds: np.ndarray, payload: list[np.ndarray],
     return offsets, [p[order] for p in payload]
 
 
+def _build_wgbs_native(genome: PackedGenome, param: Param, lib) -> SeedIndex:
+    """Two-pass count/fill build in C (dbseq.cpp:327-514 pattern): O(n)
+    time, and peak memory = the index itself + the count tables — the numpy
+    global-argsort path peaks at several times that at human-genome scale."""
+    S, I = param.seed_size, param.index_interval
+    tk = 3 ** S
+    # block enumeration order: Watson blocks in (id, begin) order, then
+    # Crick (dbseq.cpp:441-480)
+    rows = []
+    for want_odd in (0, 1):
+        for bid, begin, end in zip(genome.block_id, genome.block_begin,
+                                   genome.block_end):
+            if int(bid) % 2 != want_odd:
+                continue
+            rows.append((want_odd, int(bid) // 2, int(begin), int(end)))
+    blocks = (np.asarray(rows, dtype=np.int64).reshape(-1, 4)
+              if rows else np.zeros((0, 4), dtype=np.int64))
+    chr_w0 = (genome.anchors[: genome.n_chr] // SEGLEN).astype(np.int64)
+    anchors = genome.anchors[: genome.n_chr].astype(np.int64)
+    counts = np.zeros(tk, dtype=np.uint32)
+    wcounts = np.zeros(tk, dtype=np.uint32)
+    refcat = np.ascontiguousarray(genome.refcat, dtype=np.uint32)
+    crefcat = np.ascontiguousarray(genome.crefcat, dtype=np.uint32)
+    empty_i64 = np.zeros(1, dtype=np.int64)
+    empty_u32 = np.zeros(1, dtype=np.uint32)
+    lib.bsmap_index_pass(refcat, crefcat, chr_w0, anchors,
+                         blocks.reshape(-1), len(blocks), S, I, 1,
+                         counts, wcounts, empty_i64, empty_i64, empty_u32)
+    offsets = np.zeros(tk + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    locs = np.empty(int(offsets[-1]), dtype=np.uint32)
+    cursors = np.zeros(tk, dtype=np.int64)
+    lib.bsmap_index_pass(refcat, crefcat, chr_w0, anchors,
+                         blocks.reshape(-1), len(blocks), S, I, 2,
+                         counts, wcounts, offsets, cursors,
+                         locs if len(locs) else empty_u32)
+    return SeedIndex(seed_size=S, rrbs=False, offsets=offsets, locs=locs,
+                     wcounts=wcounts.astype(np.int32), tags=None)
+
+
 def build_index(genome: PackedGenome, param: Param) -> SeedIndex:
     S = param.seed_size
     I = param.index_interval
     tk = 3 ** S
 
     if not param.RRBS_flag:
-        # -- WGBS: enumerate indexed positions per block ---------------------
+        from . import native
+        lib = native.get_lib()
+        if lib is not None and os.environ.get("BSMAP_TPU_NATIVE_INDEX",
+                                              "1") != "0":
+            return _build_wgbs_native(genome, param, lib)
+        # -- WGBS fallback: enumerate indexed positions per block ------------
         seeds_parts: list[np.ndarray] = []
         locs_parts: list[np.ndarray] = []
         parity_parts: list[np.ndarray] = []
@@ -186,18 +231,51 @@ def index_cache_key(fasta_path: str, param: Param) -> str:
 
 
 def save_index(path: str, idx: SeedIndex) -> None:
-    np.savez_compressed(
+    # uncompressed (ZIP_STORED) so load_index(mmap=True) can memory-map the
+    # members in place: N local -p workers then share ONE page-cached copy
+    # (the reference's threads share one in-RAM index, main.cpp:45-131)
+    np.savez(
         path, seed_size=idx.seed_size, rrbs=int(idx.rrbs),
         offsets=idx.offsets, locs=idx.locs,
         wcounts=idx.wcounts if idx.wcounts is not None else np.zeros(0),
         tags=idx.tags if idx.tags is not None else np.zeros(0))
 
 
-def load_index(path: str) -> SeedIndex:
-    z = np.load(path)
+def _mmap_npz(path: str) -> dict:
+    """Memory-map every stored (uncompressed) member of an .npz in place."""
+    import zipfile
+    import struct
+    out = {}
+    with zipfile.ZipFile(path) as z:
+        for info in z.infolist():
+            if info.compress_type != zipfile.ZIP_STORED:
+                raise ValueError("compressed npz member; rebuild the cache")
+            with open(path, "rb") as fh:
+                fh.seek(info.header_offset)
+                hdr = fh.read(30)
+                name_len, extra_len = struct.unpack("<HH", hdr[26:30])
+                data_off = info.header_offset + 30 + name_len + extra_len
+                fh.seek(data_off)
+                version = np.lib.format.read_magic(fh)
+                shape, fortran, dtype = np.lib.format._read_array_header(
+                    fh, version)
+                arr_off = fh.tell()
+            name = info.filename[:-4] if info.filename.endswith(".npy") \
+                else info.filename
+            if fortran or 0 in shape or dtype.hasobject:
+                out[name] = np.load(path)[name]
+            else:
+                out[name] = np.memmap(path, dtype=dtype, mode="r",
+                                      offset=arr_off, shape=shape)
+    return out
+
+
+def load_index(path: str, mmap: bool = False) -> SeedIndex:
+    z = _mmap_npz(path) if mmap else np.load(path)
     rrbs = bool(int(z["rrbs"]))
     return SeedIndex(
         seed_size=int(z["seed_size"]), rrbs=rrbs,
-        offsets=z["offsets"], locs=z["locs"],
+        offsets=np.asarray(z["offsets"]) if not mmap else z["offsets"],
+        locs=z["locs"],
         wcounts=None if rrbs else z["wcounts"],
         tags=z["tags"] if rrbs else None)

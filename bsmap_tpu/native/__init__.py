@@ -69,11 +69,33 @@ def get_lib() -> ctypes.CDLL | None:
         lib.bsmap_encode_block_words.restype = None
         lib.bsmap_encode_block_words.argtypes = [
             ctypes.c_char_p, _p_i64, _i64, _p_u8, _p_u8, _i64, _p_i32]
+        lib.bsmap_index_pass.restype = None
+        lib.bsmap_index_pass.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            _p_i64, _p_i64, _p_i64, _i64, _i64, _i64, _i32,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            _p_i64, _p_i64,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")]
         lib.bsmap_format_sam_block.restype = _i64
         lib.bsmap_format_sam_block.argtypes = [
             ctypes.c_char_p, _p_i64, _i64, _p_i32, _p_i32,
             _p_u8, _p_i64, _p_u8, _i32, _i32, _i32, _u8, _p_u8, _i64,
             _p_i64, ctypes.POINTER(_i64)]
+        _p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.bsmap_format_sam_block_xr.restype = _i64
+        lib.bsmap_format_sam_block_xr.argtypes = [
+            ctypes.c_char_p, _p_i64, _i64, _p_i32, _p_i32,
+            _p_u8, _p_i64, _p_u8, _i32, _i32, _i32, _u8,
+            _i32, _p_u32, _i64, _p_i64, ctypes.c_char_p, _p_u8,
+            _p_u8, _i64, _p_i64, ctypes.POINTER(_i64)]
+        lib.bsmap_format_bsp_block.restype = _i64
+        lib.bsmap_format_bsp_block.argtypes = [
+            ctypes.c_char_p, _p_i64, _i64, _p_i32, _p_i32, _i64, _i64,
+            _p_u8, _p_i64, _p_u8, _i32, _i32, _i32, _i32, _u8,
+            _p_u32, _i64, _p_i64, ctypes.c_char_p, _p_u8,
+            _p_u8, _i64, _p_i64, ctypes.POINTER(_i64)]
         _LIB = lib
         return _LIB
 
@@ -115,6 +137,67 @@ def encode_block_words(lib, buf: bytes, rec: np.ndarray, alphabet: np.ndarray,
                                  np.ascontiguousarray(reg_alphabet), nwords,
                                  rows.reshape(-1))
     return rows
+
+
+def format_sam_block_xr(lib, buf: bytes, rec: np.ndarray, status: np.ndarray,
+                        rows: np.ndarray, chrnames: np.ndarray,
+                        chrname_off: np.ndarray, revc: np.ndarray,
+                        flag_base: int, out_unmap: bool, rrhits: int,
+                        synth_qual: int, refcat: np.ndarray,
+                        total_codes: int, anchors: np.ndarray,
+                        useful_nt: bytes, mapseq: np.ndarray):
+    """SAM block with XR:Z: context tags (-R); mapseq is the caller-held
+    persistent 256-byte context buffer (stale-slot quirk)."""
+    n = len(rec)
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cap = int(rec[:, 1].sum() + 3 * rec[:, 3].sum() + rec[:, 5].sum()
+              + 128 * n + 4096)
+    line_off = np.zeros(n + 1, dtype=np.int64)
+    na = _i64(0)
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        w = lib.bsmap_format_sam_block_xr(
+            buf, np.ascontiguousarray(rec).reshape(-1), n,
+            np.ascontiguousarray(status, dtype=np.int32),
+            rows.reshape(-1), chrnames, chrname_off, revc, flag_base,
+            int(out_unmap), rrhits, synth_qual, 1,
+            np.ascontiguousarray(refcat, dtype=np.uint32), total_codes,
+            np.ascontiguousarray(anchors, dtype=np.int64), useful_nt,
+            mapseq, out, cap, line_off, ctypes.byref(na))
+        if w >= 0:
+            return out[:w].data, line_off, int(na.value)
+        cap *= 2
+
+
+def format_bsp_block(lib, buf: bytes, rec: np.ndarray, status: np.ndarray,
+                     rows: np.ndarray, maxseg: int, chrnames: np.ndarray,
+                     chrname_off: np.ndarray, revc: np.ndarray,
+                     out_unmap: bool, rrhits: int, max_snp_num: int,
+                     max_num_hits: int, synth_qual: int, refcat: np.ndarray,
+                     total_codes: int, anchors: np.ndarray,
+                     useful_nt: bytes, mapseq: np.ndarray):
+    """BSP block (align.cpp:723-760); rows are FULL kernel result rows
+    including synthesized rows for replayed reads."""
+    n = len(rec)
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cap = int(rec[:, 1].sum() + 3 * rec[:, 3].sum() + rec[:, 5].sum()
+              + 256 * n + 4096)
+    line_off = np.zeros(n + 1, dtype=np.int64)
+    na = _i64(0)
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        w = lib.bsmap_format_bsp_block(
+            buf, np.ascontiguousarray(rec).reshape(-1), n,
+            np.ascontiguousarray(status, dtype=np.int32),
+            rows.reshape(-1), rows.shape[1], maxseg,
+            chrnames, chrname_off, revc, int(out_unmap), rrhits,
+            max_snp_num, max_num_hits, synth_qual,
+            np.ascontiguousarray(refcat, dtype=np.uint32), total_codes,
+            np.ascontiguousarray(anchors, dtype=np.int64), useful_nt,
+            mapseq, out, cap, line_off, ctypes.byref(na))
+        if w >= 0:
+            return out[:w].data, line_off, int(na.value)
+        cap *= 2
 
 
 def format_sam_block(lib, buf: bytes, rec: np.ndarray, status: np.ndarray,

@@ -162,6 +162,71 @@ void bsmap_encode_block_words(const uint8_t* buf, const int64_t* rec,
     }
 }
 
+// Two-pass WGBS seed-index build (the dbseq.cpp:327-514 count-then-fill
+// pattern; replaces the numpy global argsort, whose peak memory at
+// human-genome scale is several times the index itself).
+//
+// blocks: (nb, 4) int64 rows [parity, chr, begin, end], pre-ordered by the
+// caller exactly as the enumeration requires (Watson blocks in (id, begin)
+// order first, then Crick: dbseq.cpp:441-480).  begin/end are chr-local.
+// pass 1 fills counts[3^S] (and wcounts for Watson blocks); pass 2 scatters
+// global per-strand coordinates into locs at offsets[seed] + cursor.
+// Seeds roll forward by index_interval digits per sample (base-3, T->C
+// collapsed lanes) instead of recomputing all S digits.
+static inline int64_t seed_at(const uint32_t* base, int64_t pos, int64_t S) {
+    int64_t v = 0;
+    for (int64_t k = 0; k < S; k++) {
+        int64_t p = pos + k;
+        uint32_t c = (base[p >> 4] >> (2 * (15 - (p & 15)))) & 3u;
+        v = v * 3 + (c == 3u ? 1u : c);
+    }
+    return v;
+}
+
+void bsmap_index_pass(const uint32_t* refcat, const uint32_t* crefcat,
+                      const int64_t* chr_w0, const int64_t* anchors,
+                      const int64_t* blocks, int64_t nb,
+                      int64_t S, int64_t I, int32_t pass,
+                      uint32_t* counts, uint32_t* wcounts,
+                      const int64_t* offsets, int64_t* cursors,
+                      uint32_t* locs) {
+    int64_t pow_hi = 1;                      // 3^(S-I)
+    for (int64_t k = 0; k < S - I; k++) pow_hi *= 3;
+    for (int64_t b = 0; b < nb; b++) {
+        int64_t parity = blocks[b * 4 + 0];
+        int64_t chr = blocks[b * 4 + 1];
+        int64_t begin = blocks[b * 4 + 2];
+        int64_t end = blocks[b * 4 + 3];
+        int64_t i0 = (begin / I) * I;
+        int64_t i2 = ((end - S) / I) * I;
+        if (i2 < i0) continue;
+        const uint32_t* base =
+            (parity ? crefcat : refcat) + chr_w0[chr];
+        int64_t anchor = anchors[chr];
+        int64_t v = seed_at(base, i0, S);
+        for (int64_t pos = i0;; pos += I) {
+            if (pass == 1) {
+                counts[v]++;
+                if (parity == 0) wcounts[v]++;
+            } else {
+                locs[offsets[v] + cursors[v]++] = (uint32_t)(anchor + pos);
+            }
+            if (pos + I > i2) break;
+            if (I < S) {
+                v %= pow_hi;                 // roll I digits forward
+                for (int64_t j = 0; j < I; j++) {
+                    int64_t p = pos + S + j;
+                    uint32_t c =
+                        (base[p >> 4] >> (2 * (15 - (p & 15)))) & 3u;
+                    v = v * 3 + (c == 3u ? 1u : c);
+                }
+            } else {
+                v = seed_at(base, pos + I, S);
+            }
+        }
+    }
+}
+
 static inline uint8_t* put_u32(uint8_t* o, uint32_t v) {
     char tmp[10];
     int k = 0;
@@ -178,8 +243,41 @@ static inline uint8_t* put_str(uint8_t* o, const char* s) {
     return o;
 }
 
+// Reference-context string (XR tag / BSP column 9; align.cpp:670-688):
+// 2 lowercase flank chars + the read span + 2 lowercase, decoded from the
+// CONCATENATED Watson packing (pointer arithmetic reads straight past the
+// chromosome end like the reference).  mapseq is a persistent 256-byte
+// buffer whose leading slots keep their previous content when loc < 2 (the
+// reference's ptr advances on `continue`: align.cpp:673).
+// Returns the context length (read_len + 4).
+static inline int64_t ref_context(const uint32_t* refcat, int64_t total_codes,
+                                  const int64_t* anchors, const char* un,
+                                  uint8_t* mapseq, int64_t chrp, int64_t loc,
+                                  int64_t read_len) {
+    int64_t anchor = anchors[chrp >> 1];
+    int64_t ptr = 0;
+    for (int64_t ii = 2; ii >= 1; ii--) {
+        if (loc >= ii) {
+            int64_t g = anchor + loc - ii;
+            uint32_t c = (g >= 0 && g < total_codes)
+                ? ((refcat[g >> 4] >> (2 * (15 - (g & 15)))) & 3u) : 0u;
+            mapseq[ptr] = (uint8_t)(un[c] + 32);
+        }
+        ptr++;
+    }
+    for (int64_t ii = 0; ii < read_len + 2; ii++) {
+        int64_t g = anchor + loc + ii;
+        uint32_t c = (g >= 0 && g < total_codes)
+            ? ((refcat[g >> 4] >> (2 * (15 - (g & 15)))) & 3u) : 0u;
+        mapseq[ptr++] = (uint8_t)un[c];
+    }
+    mapseq[ptr - 1] += 32;
+    mapseq[ptr - 2] += 32;
+    return ptr;
+}
+
 // Format one block of SE SAM lines (s_OutHit SAM branch, align.cpp:631-765;
-// no XR/RRBS tags — callers route -R / -D runs to the exact Python path).
+// no RRBS tags — callers route -D runs to the exact Python path).
 //
 // status per read: 0 = skip (formatted by the caller: replays/BSP),
 //                  1 = QC-filtered, 2 = device result row.
@@ -189,6 +287,15 @@ static inline uint8_t* put_str(uint8_t* o, const char* s) {
 // Returns bytes written, or -1 if out_cap could be exceeded (caller grows
 // the buffer and retries).  line_off (n+1 int64) gets per-read output
 // offsets so the caller can splice Python-formatted reads in order.
+int64_t bsmap_format_sam_block_xr(
+    const uint8_t* buf, const int64_t* rec, int64_t n, const int32_t* status,
+    const int32_t* rows, const uint8_t* chrnames, const int64_t* chrname_off,
+    const uint8_t* revc, int32_t flag_base, int32_t out_unmap, int32_t rrhits,
+    uint8_t synth_qual, int32_t out_ref, const uint32_t* refcat,
+    int64_t total_codes, const int64_t* anchors, const char* useful_nt,
+    uint8_t* mapseq, uint8_t* out, int64_t out_cap, int64_t* line_off,
+    int64_t* n_aligned);
+
 int64_t bsmap_format_sam_block(
     const uint8_t* buf, const int64_t* rec, int64_t n, const int32_t* status,
     const int32_t* rows,
@@ -196,6 +303,27 @@ int64_t bsmap_format_sam_block(
     const uint8_t* revc,           // 256-entry complement table
     int32_t flag_base, int32_t out_unmap, int32_t rrhits,
     uint8_t synth_qual, uint8_t* out, int64_t out_cap,
+    int64_t* line_off, int64_t* n_aligned) {
+    return bsmap_format_sam_block_xr(
+        buf, rec, n, status, rows, chrnames, chrname_off, revc, flag_base,
+        out_unmap, rrhits, synth_qual, 0, 0, 0, 0, 0, 0, out, out_cap,
+        line_off, n_aligned);
+}
+
+// SAM block formatter with optional XR:Z: reference-context tag (-R,
+// align.cpp:684).  refcat/anchors/useful_nt/mapseq may be null when
+// out_ref == 0; mapseq is the caller-held persistent 256-byte context
+// buffer (stale-slot quirk, see ref_context).
+int64_t bsmap_format_sam_block_xr(
+    const uint8_t* buf, const int64_t* rec, int64_t n, const int32_t* status,
+    const int32_t* rows,
+    const uint8_t* chrnames, const int64_t* chrname_off,
+    const uint8_t* revc,
+    int32_t flag_base, int32_t out_unmap, int32_t rrhits,
+    uint8_t synth_qual, int32_t out_ref,
+    const uint32_t* refcat, int64_t total_codes, const int64_t* anchors,
+    const char* useful_nt, uint8_t* mapseq,
+    uint8_t* out, int64_t out_cap,
     int64_t* line_off, int64_t* n_aligned) {
     uint8_t* o = out;
     int64_t aligned = 0;
@@ -210,7 +338,8 @@ int64_t bsmap_format_sam_block(
         int64_t name_off = r[0], name_len = r[1];
         int64_t seq_off = r[2], seq_len = r[3];
         int64_t qual_off = r[4], qual_len = r[5];
-        if (out_cap - (o - out) < name_len + 2 * seq_len + qual_len + 96)
+        if (out_cap - (o - out) <
+            name_len + 3 * seq_len + qual_len + 128)
             return -1;
         int32_t wloc = rows[i * 2], w1 = rows[i * 2 + 1];
         int32_t found = w1 & 1, chain = (w1 >> 1) & 1, multi = (w1 >> 5) & 1;
@@ -261,9 +390,106 @@ int64_t bsmap_format_sam_block(
             else { memcpy(o, buf + qual_off, qual_len); o += qual_len; }
         }
         o = put_str(o, "\tNM:i:"); o = put_u32(o, (uint32_t)level);
+        if (out_ref) {
+            o = put_str(o, "\tXR:Z:");
+            int64_t cl2 = ref_context(refcat, total_codes, anchors,
+                                      useful_nt, mapseq, chrp, wloc,
+                                      seq_len);
+            memcpy(o, mapseq, cl2); o += cl2;
+        }
         o = put_str(o, "\tZS:Z:");
         *o++ = (chrp & 1) ? '-' : '+';
         *o++ = chain ? '-' : '+';
+        *o++ = '\n';
+    }
+    line_off[n] = o - out;
+    *n_aligned += aligned;
+    return o - out;
+}
+
+// Format one block of SE BSP lines (s_OutHit BSP branch, align.cpp:723-760).
+// rows are FULL kernel result rows, (n, 2*maxseg + n_extras) int32:
+// [per-level (fwd, rc) count pairs | extras], plus synthesized rows for
+// host-replayed reads — every read is a row here (no text splicing).
+// extras columns used: found, ii, ssum, chain, chrp, wloc (device_engine
+// X_* order).  status: 1 = QC-filtered, 2 = result row, 0 = skip.
+int64_t bsmap_format_bsp_block(
+    const uint8_t* buf, const int64_t* rec, int64_t n, const int32_t* status,
+    const int32_t* rows, int64_t row_w, int64_t maxseg,
+    const uint8_t* chrnames, const int64_t* chrname_off,
+    const uint8_t* revc, int32_t out_unmap, int32_t rrhits,
+    int32_t max_snp_num, int32_t max_num_hits, uint8_t synth_qual,
+    const uint32_t* refcat, int64_t total_codes, const int64_t* anchors,
+    const char* useful_nt, uint8_t* mapseq,
+    uint8_t* out, int64_t out_cap, int64_t* line_off, int64_t* n_aligned) {
+    uint8_t* o = out;
+    int64_t aligned = 0;
+    for (int64_t i = 0; i < n; i++) {
+        line_off[i] = o - out;
+        int32_t st = status[i];
+        if (st == 0) continue;
+        // filtered reads emit nothing at all under -r 0 (string_align's
+        // outer report_repeat_hits guard, align.cpp:599 path)
+        if (st == 1 && rrhits == 0) continue;
+        const int64_t* r = rec + i * 6;
+        int64_t name_off = r[0], name_len = r[1];
+        int64_t seq_off = r[2], seq_len = r[3];
+        int64_t qual_off = r[4], qual_len = r[5];
+        if (out_cap - (o - out) <
+            name_len + 3 * seq_len + qual_len + 256)
+            return -1;
+        const int32_t* row = rows + i * row_w;
+        const int32_t* ex = row + 2 * maxseg;
+        // extras order: found, ii, ssum, chain, chrp, wloc (X_FOUND..X_WLOC)
+        int32_t found = ex[0], level = ex[1], ssum = ex[2];
+        int32_t chain = ex[3], chrp = ex[4], wloc = ex[5];
+        int64_t nn = (st == 1) ? -1 : (found ? ssum : 0);
+        // suppressed lines (out_unmap off): QC/NM and -r 0 multi
+        if (!out_unmap && (nn <= 0 || (nn > 1 && rrhits == 0))) continue;
+        memcpy(o, buf + name_off, name_len); o += name_len;
+        *o++ = '\t';
+        bool rc = nn > 0 && ((chain ^ (chrp & 1)) != 0);
+        const uint8_t* s = buf + seq_off;
+        if (rc) {
+            for (int64_t k = seq_len - 1; k >= 0; k--) *o++ = revc[s[k]];
+        } else {
+            memcpy(o, s, seq_len); o += seq_len;
+        }
+        *o++ = '\t';
+        if (qual_off < 0) { memset(o, synth_qual, seq_len); o += seq_len; }
+        else if (rc) {
+            const uint8_t* qs = buf + qual_off;
+            for (int64_t k = qual_len - 1; k >= 0; k--) *o++ = qs[k];
+        } else { memcpy(o, buf + qual_off, qual_len); o += qual_len; }
+        *o++ = '\t';
+        const char* cls = (nn < 0) ? "QC" : (nn == 0) ? "NM"
+            : (nn == 1) ? "UM" : (nn >= max_num_hits) ? "OF" : "MA";
+        *o++ = cls[0]; *o++ = cls[1];
+        if ((nn > 0 && rrhits == 1) || (nn == 1 && rrhits == 0)) {
+            aligned++;
+            *o++ = '\t';
+            int64_t c2 = chrp >> 1;
+            int64_t cl = chrname_off[c2 + 1] - chrname_off[c2];
+            memcpy(o, chrnames + chrname_off[c2], cl); o += cl;
+            *o++ = '\t'; o = put_u32(o, (uint32_t)(wloc + 1));
+            *o++ = '\t';
+            *o++ = (chrp & 1) ? '-' : '+';
+            *o++ = chain ? '-' : '+';
+            o = put_str(o, "\t0\t");          // SE insert size
+            int64_t cl2 = ref_context(refcat, total_codes, anchors,
+                                      useful_nt, mapseq, chrp, wloc,
+                                      seq_len);
+            memcpy(o, mapseq, cl2); o += cl2;
+            *o++ = '\t'; o = put_u32(o, (uint32_t)level); *o++ = '\t';
+            int64_t budget = (int64_t)(max_snp_num + 1) * (seq_len - 1)
+                / (seq_len > 0 ? seq_len : 1);
+            for (int64_t ii = 0; ii <= budget; ii++) {
+                if (ii) *o++ = ':';
+                uint32_t h = (ii < maxseg)
+                    ? (uint32_t)(row[2 * ii] + row[2 * ii + 1]) : 0u;
+                o = put_u32(o, h);
+            }
+        }
         *o++ = '\n';
     }
     line_off[n] = o - out;

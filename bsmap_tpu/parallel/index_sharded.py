@@ -115,29 +115,30 @@ def build_region_shards(genome: PackedGenome, index: SeedIndex, ndev: int):
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "cands", "mesh", "axis"))
 def _index_sharded_call(cfg: Cfg, cands: int, mesh: Mesh, axis: str,
-                        prof_a, d_kmer_tab, rc_code, rc_n_code, d_catcat,
-                        d_anchors, d_sizes, d_rcoff, d_wlocs, d_clocs,
-                        d_tags, d_sites, d_site_off, packed, bounds):
+                        prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
+                        d_catcat, d_anchors, d_sizes, d_rcoff, d_wlocs,
+                        d_clocs, d_tags, d_sites, d_site_off, packed,
+                        bounds):
     """shard_map over the index-region axis: reads replicated, index
     sharded; the fused kernel's collectives (cfg.shard_axis) produce
     device-invariant full result rows."""
 
-    def step(prof_a, kt, rc_code, rc_n_code, catcat, anchors, sizes, rcoff,
-             wl, cl, tags, sites, soff, pk, bnds):
+    def step(prof_a, kt, kcnt, rc_code, rc_n_code, catcat, anchors, sizes,
+             rcoff, wl, cl, tags, sites, soff, pk, bnds):
         out = _align_fused_kernel(
-            cfg, cands, prof_a, kt[0], rc_code, rc_n_code, catcat, anchors,
-            sizes, rcoff, wl[0], cl[0], tags, sites, soff, pk,
+            cfg, cands, prof_a, kt[0], kcnt, rc_code, rc_n_code, catcat,
+            anchors, sizes, rcoff, wl[0], cl[0], tags, sites, soff, pk,
             bounds=bnds)
         return out[None]
 
     rep, shd = P(), P(axis)
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(rep, shd, rep, rep, rep, rep, rep, rep,
+                   in_specs=(rep, shd, rep, rep, rep, rep, rep, rep, rep,
                              shd, shd, rep, rep, rep, rep, rep),
                    out_specs=shd, check_rep=False)
-    out = fn(prof_a, d_kmer_tab, rc_code, rc_n_code, d_catcat, d_anchors,
-             d_sizes, d_rcoff, d_wlocs, d_clocs, d_tags, d_sites,
-             d_site_off, packed, bounds)
+    out = fn(prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code, d_catcat,
+             d_anchors, d_sizes, d_rcoff, d_wlocs, d_clocs, d_tags,
+             d_sites, d_site_off, packed, bounds)
     return out[0]        # rows are device-invariant after the merges
 
 
@@ -180,7 +181,7 @@ class IndexShardedEngine(DeviceEngine):
         self.d_bounds = jax.device_put(jnp.asarray(bounds), rep)
         for name in ("d_catcat", "d_anchors", "d_sizes", "d_rcoff",
                      "d_tags", "d_sites", "d_site_off", "prof_a",
-                     "rc_code", "rc_n_code"):
+                     "rc_code", "rc_n_code", "d_kcnt"):
             setattr(self, name, jax.device_put(
                 np.asarray(getattr(self, name)), rep))
         self._rep = rep
@@ -197,7 +198,8 @@ class IndexShardedEngine(DeviceEngine):
         placed = jax.device_put(packed, self._rep)
         return _index_sharded_call(
             cfg, self.CANDS if cands is None else cands, self.mesh,
-            self.axis, self.prof_a, self.d_kmer_tab, self.rc_code,
-            self.rc_n_code, self.d_catcat, self.d_anchors, self.d_sizes,
-            self.d_rcoff, self.d_wlocs, self.d_clocs, self.d_tags,
-            self.d_sites, self.d_site_off, placed, self.d_bounds)
+            self.axis, self.prof_a, self.d_kmer_tab, self.d_kcnt,
+            self.rc_code, self.rc_n_code, self.d_catcat, self.d_anchors,
+            self.d_sizes, self.d_rcoff, self.d_wlocs, self.d_clocs,
+            self.d_tags, self.d_sites, self.d_site_off, placed,
+            self.d_bounds)

@@ -118,6 +118,36 @@ def test_mixed_length_stale_state(reference_binary, eng_data, engine):
     assert_same(eng_data, "refmix.sam", f"ourmix_{engine}.sam")
 
 
+@pytest.mark.parametrize("extra", [[], ["-r", "0"]])
+def test_s0_pe_device_matches_host(pe_eng_data, extra):
+    """PE under -S 0 (the reference default): the sequential rand_r draws
+    fire only for multi-hit pairs (pairs.cpp:235) and unpaired multi-hit
+    mates (pairs.cpp:258,271) — those pairs replay on the host engine, the
+    rest stay on device and consume no draws.  With a pinned rand_r seed
+    device and host engines must be byte-identical."""
+    import subprocess
+    import sys
+
+    from .conftest import REPO
+
+    d = pe_eng_data
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "BSMAP_TPU_DEV_BATCH": "2048",
+           "BSMAP_TPU_CANDS_PER_READ": "16", "HOME": "/root",
+           "BSMAP_TPU_RANDR_SEED": "1234"}
+    tag = "r0" if extra else "r1"
+    base = ["-a", "po1.fq", "-b", "po2.fq", "-d", "ec2.fa",
+            "-v", "2", "-u", "-S", "0"] + extra
+    for eng, out in (("host", f"s0p_host_{tag}.sam"),
+                     ("device", f"s0p_dev_{tag}.sam")):
+        r = subprocess.run(
+            [sys.executable, "-m", "bsmap_tpu.cli"] + base
+            + ["-o", out, "--engine", eng],
+            cwd=d, capture_output=True, env=env)
+        assert r.returncode == 0, r.stderr.decode()
+    assert_same(d, f"s0p_host_{tag}.sam", f"s0p_dev_{tag}.sam")
+
+
 def test_s0_device_matches_host(eng_data):
     """-S 0 (the reference default): sequential rand_r selection.  With a
     pinned rand_r seed the device fast path (kernel rand=0, unique reads

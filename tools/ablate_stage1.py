@@ -60,7 +60,7 @@ def main():
                  d_sizes, d_rcoff, d_wlocs, d_clocs, codes, regs, lens,
                  budgets, rand32, maxrank):
         (qw, rw, h, off0, off3, wcnt, cnt, wantv, s_off,
-         c_off) = de._schedule_impl(
+         c_off, _ftot) = de._schedule_impl(
             cfg, prof_a, d_kmer_tab, rc_code, rc_n_code, codes, regs, lens,
             budgets, maxrank)
         B = qw.shape[0]

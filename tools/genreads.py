@@ -103,6 +103,101 @@ def generate(out_dir: str, seed: int = 7, n_chr: int = 2,
     return gpath, rpath
 
 
+def make_pe_reads(seed: int, chrs, n_pairs: int, read_len: int,
+                  ins_min: int = 100, ins_max: int = 400):
+    """(r1, r2) fully-converted bisulfite read-pair arrays: r1 = fragment
+    start with C->T, r2 = fragment end reverse-complemented (G->A after
+    revcomp), half the fragments on the Crick strand."""
+    rng = np.random.RandomState(seed + 2)
+    ci = rng.randint(0, len(chrs), size=n_pairs)
+    ins = rng.randint(ins_min, ins_max + 1, size=n_pairs)
+    r1 = np.empty((n_pairs, read_len), dtype=np.uint8)
+    r2 = np.empty((n_pairs, read_len), dtype=np.uint8)
+    offs = np.arange(read_len)
+    for c, chrseq in enumerate(chrs):
+        sel = np.where(ci == c)[0]
+        pos = rng.randint(0, len(chrseq) - ins_max - 1, size=len(sel))
+        insc = ins[sel]
+        w1 = chrseq[pos[:, None] + offs[None, :]]
+        w2 = COMP[chrseq[(pos + insc)[:, None] - 1 - offs[None, :]]]
+        flip = rng.random_sample(len(sel)) < 0.5
+        a = np.where(flip[:, None], w2, w1)     # sequenced mate 1
+        b = np.where(flip[:, None], w1, w2)     # sequenced mate 2
+        r1[sel] = np.where(a == ord("C"), ord("T"), a)
+        r2[sel] = np.where(b == ord("G"), ord("A"), b)
+    return r1, r2
+
+
+def make_rrbs_reads(seed: int, chrs, n_reads: int, read_len: int,
+                    min_frag: int = 40, max_frag: int = 220) -> np.ndarray:
+    """Fully-converted reads starting at MspI (C^CGG) digestion-fragment
+    starts whose fragment length is within [min_frag, max_frag]."""
+    rng = np.random.RandomState(seed + 3)
+    pools = []
+    for c, a in enumerate(chrs):
+        m = ((a[:-3] == ord("C")) & (a[1:-2] == ord("C"))
+             & (a[2:-1] == ord("G")) & (a[3:] == ord("G")))
+        sites = np.nonzero(m)[0]
+        if len(sites) < 2:
+            continue
+        gaps = np.diff(sites)
+        ok = (gaps >= min_frag) & (gaps <= max_frag)
+        starts = sites[:-1][ok] + 1
+        starts = starts[starts + read_len <= len(a)]
+        if len(starts):
+            pools.append((c, starts))
+    assert pools, "no digestion fragments in genome"
+    out = np.empty((n_reads, read_len), dtype=np.uint8)
+    offs = np.arange(read_len)
+    pick = rng.randint(0, len(pools), size=n_reads)
+    for k, (c, starts) in enumerate(pools):
+        sel = np.where(pick == k)[0]
+        pos = starts[rng.randint(0, len(starts), size=len(sel))]
+        win = chrs[c][pos[:, None] + offs[None, :]]
+        out[sel] = win
+    out[out == ord("C")] = ord("T")
+    return out
+
+
+def generate_pe(out_dir: str, seed: int = 11, chr_len: int = 4_600_000,
+                n_pairs: int = 200_000, read_len: int = 76):
+    """BASELINE config 2 class: E. coli-sized genome, 76nt pairs."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    gpath = os.path.join(out_dir, "genome_pe.fa")
+    r1path = os.path.join(out_dir, "reads_pe_1.fq")
+    r2path = os.path.join(out_dir, "reads_pe_2.fq")
+    stamp = os.path.join(out_dir,
+                         f"genpe_{seed}_{chr_len}_{n_pairs}_{read_len}.ok")
+    if os.path.exists(stamp):
+        return gpath, r1path, r2path
+    chrs = make_genome(seed, 1, chr_len)
+    write_genome(gpath, chrs)
+    r1, r2 = make_pe_reads(seed, chrs, n_pairs, read_len)
+    write_fastq(r1path, r1)
+    write_fastq(r2path, r2)
+    open(stamp, "w").close()
+    return gpath, r1path, r2path
+
+
+def generate_rrbs(out_dir: str, seed: int = 13, chr_len: int = 10_000_000,
+                  n_reads: int = 200_000, read_len: int = 76):
+    """BASELINE config 3 class: MspI digestion-constrained reads."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    gpath = os.path.join(out_dir, "genome_rrbs.fa")
+    rpath = os.path.join(out_dir, "reads_rrbs.fq")
+    stamp = os.path.join(out_dir,
+                         f"genrr_{seed}_{chr_len}_{n_reads}_{read_len}.ok")
+    if os.path.exists(stamp):
+        return gpath, rpath
+    chrs = make_genome(seed, 1, chr_len)
+    write_genome(gpath, chrs)
+    write_fastq(rpath, make_rrbs_reads(seed, chrs, n_reads, read_len))
+    open(stamp, "w").close()
+    return gpath, rpath
+
+
 def generate_chr21(out_dir: str, n_reads: int = 1_000_000):
     """BASELINE config 4 class: one 46.7 Mb chromosome with 8% repeat
     content (power-law seed buckets), 100nt fully-converted reads."""
