@@ -96,8 +96,22 @@ SATLIM = np.uint32(1 << 30)    # saturating-cumsum fixed point (overflow guard)
 #         the NB chosen slots touch the 16B bucket rows (halves the
 #         random-gather traffic of stage 1)
 #   dd2 = 2-entry dedup hash cascade instead of 3 (replay on miss)
-_KVAR = set(filter(None, _os.environ.get(
-    "BSMAP_TPU_KVAR", "").split(",")))
+#   sa  = small-axis gathers (zigzag cost rows, slot descriptors: axes of
+#         size maxseg/S) as unrolled elementwise selects — XLA gathers cost
+#         ~10-25 ns per ELEMENT regardless of size (measured), so selects
+#         over tiny static axes beat gathers by >5x
+# measured on-chip: none of sg/cs/dd2/sa moves the needle (the kernel cost
+# is not in gather micro-structure); they stay selectable for ablations
+_KVAR = set(filter(None, _os.environ.get("BSMAP_TPU_KVAR", "").split(",")))
+
+
+def _sel_cols(tab, idx):
+    """tab[b, idx[b]] with a SMALL static column count: unrolled
+    elementwise selects instead of a gather.  tab (B, K), idx (B,)."""
+    acc = tab[:, 0]
+    for m in range(1, tab.shape[1]):
+        acc = jnp.where(idx == m, tab[:, m], acc)
+    return acc
 
 
 class EngineUnsupported(ImportError):
@@ -141,6 +155,18 @@ class Cfg(NamedTuple):
                            # host can bin-pack verify dispatches exactly
                            # (repeat-heavy genomes; the reference's answer
                            # is cheap-segment-first ordering align.cpp:471)
+    fixed: bool = False    # fixed-schedule fast path: probe the pigeonhole
+                           # covering at start offset 0 in natural segment
+                           # order, skipping ReorderSeed/zigzag/seedindex
+                           # (align.cpp:454-577) entirely.  At full
+                           # sensitivity the HIT SET is schedule-independent
+                           # (any covering finds every <=budget alignment;
+                           # dedup canonicalizes), so found/NM, best level,
+                           # best-level count and the unique hit are exact;
+                           # reads whose output DOES depend on the schedule
+                           # (multi-hit selection order, BSP histograms,
+                           # partial-sensitivity lengths) re-dispatch on the
+                           # exact-schedule program
     nw: int = FIXELEMENT   # packed words per read this dispatch: 7 when
                            # every read is <= 112 nt (25% less H2D, 8 vs 11
                            # reference-word gathers in verify), else 10
@@ -268,6 +294,63 @@ def _rc_words(cfg: Cfg, qw, rw, lens):
     return cqw, crw
 
 
+def _fixed_schedule_impl(cfg: Cfg, qw, rw, d_kmer_tab, lens, budgets,
+                         maxrank):
+    """cfg.fixed stage 1: probe the pigeonhole covering at start offset 0 —
+    seeds at NB STATIC read offsets, one bucket-row gather, no offset
+    optimization (ReorderSeed/zigzag).  Segments are still ordered
+    cheapest-first PER READ (argsort over the maxseg probed counts) so
+    rank-0 dispatches enumerate the smallest bucket — any deterministic
+    order is valid because committed results are order-independent, and
+    cheap-first keeps the candidate mass near the exact schedule's.
+    Callers guarantee (host-side eligibility check) full sensitivity
+    (seedseg == budget+1) and in-range probes, so the resulting HIT SET
+    equals the exact schedule's."""
+    B = qw.shape[0]
+    S, I, MS, NB, nch = cfg.S, cfg.I, cfg.maxseg, cfg.NB, cfg.nch
+    # static probe layout, natural (segment, chain, phase) order:
+    # a = ceil((n*S + i) / I) * I (param.cpp:85-93), k = a - i, h = -a + i
+    a_np = np.array([[-(-(n * S + i) // I) * I for i in range(I)]
+                     for n in range(MS)], dtype=np.int32)
+    k_nat = np.stack([a_np[n, i] - i for n in range(MS)
+                      for _c in range(nch) for i in range(I)])
+    P = int(k_nat.max()) + 1
+    sarr_by_chain = [_seed_array_w(qw[:, c], S, P) for c in range(nch)]
+    if nch == 2:
+        is_c = np.array([c for _n in range(MS) for c in range(nch)
+                         for _i in range(I)], dtype=bool)
+        sv = jnp.where(jnp.asarray(is_c)[None, :],
+                       sarr_by_chain[1][:, k_nat],
+                       sarr_by_chain[0][:, k_nat])
+    else:
+        sv = sarr_by_chain[0][:, k_nat]                     # (B, NB)
+    rows = _rowg(d_kmer_tab, sv)                            # (B, NB, ncol)
+    ncol = rows.shape[-1]
+    cnt_col = 4 if ncol > 4 else 1
+    fresh = jnp.asarray(k_nat)[None, :] <= (lens - S)[:, None]
+    h_nat = jnp.broadcast_to(jnp.asarray(-k_nat)[None, :], (B, NB))
+    cnt_nat = jnp.where(fresh, rows[..., cnt_col], 0)
+    # per-read, per-chain cheapest-segment-first ordering
+    shp = (B, MS, nch, I)
+    seg_cost = cnt_nat.reshape(shp).sum(axis=3)             # (B, MS, nch)
+    ord_ = jnp.argsort(jnp.swapaxes(seg_cost, 1, 2), axis=2,
+                       stable=True)                         # (B, nch, MS)
+    ord_ = jnp.swapaxes(ord_, 1, 2).astype(jnp.int32)       # (B, MS, nch)
+
+    def permute(nat):
+        nat4 = nat.reshape(shp)
+        out = nat4
+        for m in range(MS):
+            out = jnp.where((ord_ == m)[..., None], nat4[:, m][:, None],
+                            out)
+        return out.reshape(B, NB)
+
+    zero = jnp.zeros((B,), jnp.int32)
+    return (permute(h_nat), permute(rows[..., 0]), permute(rows[..., 3]),
+            permute(rows[..., 2]), permute(cnt_nat),
+            jnp.zeros((B, NB), jnp.int32), zero, zero)
+
+
 def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
                    qw0, rw0, lens, budgets, maxrank):
     B = qw0.shape[0]
@@ -284,6 +367,26 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
 
     seedseg = jnp.clip(jnp.minimum((lens - I + 1) // S, budgets + 1), 0, MS)
     max_off = (lens - I + 1) % S
+
+    if cfg.fixed:
+        (h, off0, off3, wcnt, cnt, wantv, s_off_out,
+         c_off_out) = _fixed_schedule_impl(cfg, qw, rw, d_kmer_tab, lens,
+                                           budgets, maxrank)
+        slot_rank_f = jnp.asarray(
+            np.repeat(np.arange(MS, dtype=np.int32), cfg.nch * I))
+        seg_ok = slot_rank_f[None, :] < seedseg[:, None]
+        cnt_full = jnp.where(seg_ok, cnt, 0)
+        cnt_cl = jnp.minimum(cnt_full.astype(jnp.uint32),
+                             jnp.uint32(1 << 27)).astype(jnp.int32)
+        srn = np.repeat(np.arange(MS), cfg.nch * I)
+        onehot = np.zeros((len(srn), MS), dtype=np.int32)
+        onehot[np.arange(len(srn)), srn] = 1
+        per_rank = cnt_cl @ jnp.asarray(onehot)
+        ftot_rank = jnp.minimum(jnp.cumsum(per_rank, axis=1), 1 << 27)
+        cnt = jnp.where(slot_rank_f[None, :] <= maxrank[:, None],
+                        cnt_full, 0)
+        return (qw, rw, h, off0, off3, wcnt, cnt, wantv, s_off_out,
+                c_off_out, ftot_rank)
 
     n_i = jnp.arange(MS, dtype=jnp.int32)
     off_i = jnp.arange(S, dtype=jnp.int32)
@@ -352,12 +455,24 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
             ptr = jnp.where(it % 2 == 0, half, seedseg - 1 - half)
             active = (it < seedseg)
             ptr_c = jnp.clip(ptr, 0, MS - 1).astype(jnp.int32)
-            prev = _taa(start_arr, jnp.clip(ptr_c - 1, 0, MS - 1)[:, None])[:, 0]
-            nxt = _taa(start_arr, jnp.clip(ptr_c + 1, 0, MS - 1)[:, None])[:, 0]
+            if "sa" in _KVAR:
+                # all these gathers select over tiny static axes (MS, S):
+                # unrolled selects beat XLA's ~10-25 ns/element gathers
+                prev = _sel_cols(start_arr, jnp.clip(ptr_c - 1, 0, MS - 1))
+                nxt = _sel_cols(start_arr, jnp.clip(ptr_c + 1, 0, MS - 1))
+                costs = T[:, 0, :]
+                for m in range(1, MS):
+                    costs = jnp.where((ptr_c == m)[:, None], T[:, m, :],
+                                      costs)
+            else:
+                prev = _taa(start_arr,
+                            jnp.clip(ptr_c - 1, 0, MS - 1)[:, None])[:, 0]
+                nxt = _taa(start_arr,
+                           jnp.clip(ptr_c + 1, 0, MS - 1)[:, None])[:, 0]
+                costs = _taa(T.reshape(B, MS * S),
+                             ptr_c[:, None] * S + off_i[None, :])  # (B, S)
             lo = jnp.where(ptr_c == 0, 0, prev)
             hi = jnp.where(ptr_c == seedseg - 1, max_off, nxt)
-            costs = _taa(T.reshape(B, MS * S),
-                         ptr_c[:, None] * S + off_i[None, :])   # (B, S)
             rng_ok = (off_i[None, :] >= lo[:, None]) & \
                      (off_i[None, :] <= hi[:, None])
             costs_m = jnp.where(rng_ok, costs, BIGU)
@@ -372,7 +487,12 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
         # segment ordering cheapest-bucket-first (seedindex align.cpp:471-503)
         # std::sort on pair<int,int>(cost, n): cost compared as SIGNED int,
         # ties by segment id (stable argsort over ascending n).
-        cost_n = _taa(T.reshape(B, MS * S), n_i[None, :] * S + start_arr)
+        if "sa" in _KVAR:
+            cost_n = jnp.stack(
+                [_sel_cols(T[:, m, :], start_arr[:, m]) for m in range(MS)],
+                axis=1)
+        else:
+            cost_n = _taa(T.reshape(B, MS * S), n_i[None, :] * S + start_arr)
         cost_s = cost_n ^ jnp.uint32(0x80000000)    # order uint as int32
         key_hi = jnp.where(seg_mask, cost_s, BIGU)
         order = jnp.argsort(key_hi, axis=1, stable=True).astype(jnp.int32)
@@ -394,14 +514,27 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
 
     # --- slot grid in discovery order: (rank, chain, phase) -----------------
     NB, nch = cfg.NB, cfg.nch
-    slot_rank = jnp.repeat(n_i, nch * I)                     # (NB,)
+    slot_rank_np = np.repeat(np.arange(MS, dtype=np.int32), nch * I)
+    slot_phase_np = np.tile(np.arange(I, dtype=np.int32), nch * MS)
+    slot_rank = jnp.asarray(slot_rank_np)                    # (NB,)
     slot_cs = jnp.tile(jnp.repeat(jnp.arange(nch, dtype=jnp.int32), I), MS)
-    slot_phase = jnp.tile(jnp.arange(I, dtype=jnp.int32), nch * MS)
+    slot_phase = jnp.asarray(slot_phase_np)
 
     def slot_desc(start_arr, order, rows_p, koff, is_rc):
-        mode = _taa(order, jnp.broadcast_to(slot_rank[None, :], (B, NB)))
-        a = _g1(prof_a, mode * I + slot_phase[None, :])
-        st = _taa(start_arr, mode)
+        if "sa" in _KVAR:
+            # static column pick + unrolled selects over the tiny maxseg
+            # axis (see _KVAR "sa" note)
+            mode = order[:, slot_rank_np]                    # (B, NB)
+            a = jnp.broadcast_to(prof_a[0, slot_phase_np][None, :], (B, NB))
+            st = jnp.broadcast_to(start_arr[:, 0][:, None], (B, NB))
+            for m in range(1, MS):
+                sel = mode == m
+                a = jnp.where(sel, prof_a[m, slot_phase_np][None, :], a)
+                st = jnp.where(sel, start_arr[:, m][:, None], st)
+        else:
+            mode = _taa(order, jnp.broadcast_to(slot_rank[None, :], (B, NB)))
+            a = _g1(prof_a, mode * I + slot_phase[None, :])
+            st = _taa(start_arr, mode)
         k = a + st - slot_phase[None, :] + koff[:, None]
         k_c = jnp.clip(k, 0, P - 1)
         h = -a + slot_phase[None, :] - st - koff[:, None]
@@ -420,6 +553,15 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
             sv = _taa(rows_p, k_c)                          # seed values
             rs = _rowg(d_kmer_tab, sv)                      # (B, NB, ncol)
             ncol = rs.shape[-1]
+        elif "sa" in _KVAR:
+            # select over the P (~56) already-gathered cost rows: ~P
+            # fused selects on (B, NB, ncol) stream far below the
+            # ~10-25 ns/element random-gather cost
+            ncol = rows_p.shape[-1]
+            rs = jnp.broadcast_to(rows_p[:, 0, None, :], (B, NB, ncol))
+            for pp in range(1, P):
+                rs = jnp.where((k_c == pp)[:, :, None],
+                               rows_p[:, pp, None, :], rs)
         else:
             ncol = rows_p.shape[-1]
             flat = jnp.arange(B, dtype=jnp.int32)[:, None] * P + k_c
@@ -826,12 +968,21 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
         # BIT_* layout below).  ok/overflow bits are computed on device;
         # column 2 carries the full-rank candidate total so the host can
         # bin-pack any re-dispatch exactly.
+        multi = ssum != 1
+        if cfg.fixed:
+            # under the fixed schedule, the committed result must be
+            # schedule-independent: multi-hit reads (selection order) and
+            # any read whose enumerated-candidate count could let the
+            # reference's max_num_hits cap fire (align.cpp:211) re-dispatch
+            # on the exact-schedule program (the host treats this bit as
+            # "needs exact", not as a replay)
+            multi = multi | (totals >= cfg.max_num_hits)
         w1 = (found.astype(jnp.int32)
               | (sel_chain << 1)
               | (replay.astype(jnp.int32) << 2)
               | (ok_all.astype(jnp.int32) << 3)
               | (big_any.astype(jnp.int32) << 4)
-              | ((ssum != 1).astype(jnp.int32) << 5)
+              | (multi.astype(jnp.int32) << 5)
               | (ii << 6)
               | (sel_chrp << 10)
               | (resolved.astype(jnp.int32) << 26))
@@ -1160,6 +1311,23 @@ class DeviceEngine:
                     for i in range(p.index_interval))
         return self._amax_cache[seedseg]
 
+    def _fx_eligible(self, lens: np.ndarray, budgets: np.ndarray) -> bool:
+        """True when EVERY read supports the fixed-schedule fast path:
+        full sensitivity (seedseg == budget+1, so the pigeonhole hit set is
+        schedule-independent) and all offset-0 probes within the fresh seed
+        range.  Short / partial-sensitivity reads keep the exact path."""
+        p = self.param
+        if p.RRBS_flag or len(lens) == 0:
+            return False
+        S, I = p.seed_size, p.index_interval
+        lens = np.ascontiguousarray(lens, dtype=np.int64)
+        seedseg = np.clip(np.minimum((lens - I + 1) // S, budgets + 1),
+                          0, self._maxseg)
+        full_sens = ((lens - I + 1) // S >= budgets + 1) & (seedseg >= 1)
+        amax = np.array([self._probe_amax(int(m))
+                         for m in range(self._maxseg + 1)], dtype=np.int64)
+        return bool((full_sens & (amax[seedseg] <= lens - S)).all())
+
     def _stale_risk(self, lens: np.ndarray, budgets: np.ndarray) -> np.ndarray:
         """True for reads whose schedule may read stale per-instance state
         (previous reads' seed buffers / start offsets, align.cpp:454-469):
@@ -1370,6 +1538,9 @@ class DeviceEngine:
         z[:, width - 3] = min(self.param.max_snp_num, MAXSNPS)
         cfg = self._cfg(chains_mode, lean=lean, nw=nw)
         outs = [self._dispatch(cfg, z, cap) for cap in self.cands_tiers]
+        if lean:
+            outs.append(self._dispatch(cfg._replace(fixed=True), z,
+                                       self.CANDS))
         if probe and self._probe_ok:
             pcfg = cfg._replace(probe=True, lean=False, hits_k=0)
             outs.append(self._dispatch(pcfg, z, 1))
@@ -1426,7 +1597,8 @@ class DeviceEngine:
                                                   int(buds[t]))
         return results
 
-    def _align_arrays(self, cfg: Cfg, rows, read_of, risk=None):
+    def _align_arrays(self, cfg: Cfg, rows, read_of, risk=None,
+                      fx_ok: bool = False):
         """Core orchestration over pre-encoded live reads: windowed
         optimistic dispatches, overflow retry with candidate-capacity
         escalation, exact host replay with MateState maintenance.  ``rows``
@@ -1459,7 +1631,7 @@ class DeviceEngine:
             else:
                 out_rows[sel, 2 * MS + X_REPLAY] = 1
 
-        def collect(sel, out):
+        def collect(sel, out, fx: bool = False):
             """Collect one dispatch; returns (#done, #ok-but-unresolved)."""
             t0 = _time.time()
             orows = np.asarray(out)[: len(sel)]
@@ -1475,6 +1647,10 @@ class DeviceEngine:
                 res = orows[:, 2 * MS + X_RESOLVED] != 0
                 ftot[sel] = orows[:, 2 * MS + X_FTOT]
             fin = ok & res
+            if fx:
+                # fixed-schedule round: only schedule-independent results
+                # commit; the rest re-dispatch on the exact program
+                fin = fin & ((orows[:, 1] & BIT_MULTI) == 0)
             out_rows[sel[fin]] = orows[fin]
             done[sel[fin]] = True
             served[sel[ok]] = True
@@ -1578,10 +1754,13 @@ class DeviceEngine:
         else:
             pend = []
             t0 = _time.time()
+            # fixed-schedule fast path for the bulk round: ~5x cheaper
+            # stage 1; multi-hit / capped reads re-dispatch exactly below
+            rcfg = cfg._replace(fixed=True) if fx_ok else cfg
             ranks = np.full(n, init_rank, dtype=np.int32)
             for i in range(0, n, self.B):
                 sel = np.arange(i, min(i + self.B, n), dtype=np.int64)
-                out = self._dispatch(cfg, self._pad_rows(rows, sel, ranks),
+                out = self._dispatch(rcfg, self._pad_rows(rows, sel, ranks),
                                      self.CANDS)
                 try:
                     out.copy_to_host_async()
@@ -1591,7 +1770,7 @@ class DeviceEngine:
                 self.n_dispatched += 1
             self.t_enqueue += _time.time() - t0
             for sel, out in pend:
-                d, e = collect(sel, out)
+                d, e = collect(sel, out, fx=fx_ok)
                 n_done += d
                 n_esc += e
             if n:
@@ -1732,9 +1911,10 @@ class DeviceEngine:
         cfg = self._cfg("b" if p.chains
                         else ("r" if block.readset == 2 else "f"), lean=lean,
                         nw=nw)
+        fx_ok = lean and self._fx_eligible(lens_l, buds)
         out_rows, replays = self._align_arrays(
             cfg, rows_l, lambda t: block.read_obj(int(live_pos[t])),
-            risk=risk)
+            risk=risk, fx_ok=fx_ok)
         if not cfg.lean and plain_sam:
             out_rows = _pack_rows_lean(out_rows, cfg.maxseg)
         return live_pos, out_rows, replays
