@@ -246,7 +246,11 @@ def run(argv: list[str]) -> int:
 
     if not o.ref_file:
         sys.exit("fatal error: failed to open ref file")
-    genome = load_genome(o.ref_file, p)
+    if o.index_cache:
+        from .reference import load_genome_cached
+        genome = load_genome_cached(o.ref_file, p, o.index_cache)
+    else:
+        genome = load_genome(o.ref_file, p)
     p.total_ref_seq = genome.n_chr
     print(f"Load in {genome.n_chr} db seqs, total size {genome.sum_length} bp."
           f" {timer.total():.1f} secs passed")
@@ -475,7 +479,7 @@ def run_single_end_blocks(o: Options, engine, fmt, genome, timer,
     # device while the producer thread parses the next block and the writer
     # thread formats the previous one (the native format call releases the
     # GIL) — three-stage pipeline over the reference's C18 thread runtime
-    blk_win = int(os.environ.get("BSMAP_TPU_BLOCK_WINDOWS", 4))
+    blk_win = int(os.environ.get("BSMAP_TPU_BLOCK_WINDOWS", 8))
     blk_n = blk_win * getattr(engine, "B", BATCH_NUM)
     q_in: "queue.Queue" = queue.Queue(maxsize=2)
     q_out: "queue.Queue" = queue.Queue(maxsize=4)

@@ -62,10 +62,15 @@ class _SelList:
 
 class PairSEView:
     """SEResult-compatible view of one mate's full kernel row (counts +
-    reproducible selection), for the unpaired-fallback formatter."""
+    reproducible selection), for the unpaired-fallback formatter.  The
+    hit-list views are built LAZILY: properly-paired pairs (the vast
+    majority) never touch them, and eager construction measured 25 s per
+    200k pairs."""
 
     filtered = False
     aborted_repeat = False
+    __slots__ = ("n_hit", "n_chit", "read_max_snp_num", "_hit",
+                 "_hits", "_chits")
 
     def __init__(self, row: np.ndarray, maxseg: int, budget: int):
         counts = row[: 2 * maxseg].reshape(maxseg, 2)
@@ -75,12 +80,24 @@ class PairSEView:
         self.n_hit[:maxseg] = counts[:, 0]
         self.n_chit[:maxseg] = counts[:, 1]
         self.read_max_snp_num = budget
-        hit = (int(ex[X_CHRP]), int(ex[X_WLOC]))
         # the kernel's selection used the same myrand hash the formatter
         # will derive its index from, so whichever side/slot is indexed,
         # the answer is this hit
-        self.hits = [_SelList(int(h), hit) for h in self.n_hit]
-        self.chits = [_SelList(int(h), hit) for h in self.n_chit]
+        self._hit = (int(ex[X_CHRP]), int(ex[X_WLOC]))
+        self._hits = None
+        self._chits = None
+
+    @property
+    def hits(self):
+        if self._hits is None:
+            self._hits = [_SelList(int(h), self._hit) for h in self.n_hit]
+        return self._hits
+
+    @property
+    def chits(self):
+        if self._chits is None:
+            self._chits = [_SelList(int(h), self._hit) for h in self.n_chit]
+        return self._chits
 
 
 class PairDeviceEngine:
@@ -254,46 +271,73 @@ class PairDeviceEngine:
             cfg_a, cfg_b = self._cfg(1), self._cfg(2)
             risk = se._stale_risk(la, ba_) | se._stale_risk(lb, bb_)
 
+            from .device_engine import X_FTOT
             done = np.zeros(n, dtype=bool)
-            todo = np.arange(n, dtype=np.int64)
-            while len(todo):
-                wins = [todo[i: i + se.B]
-                        for i in range(0, len(todo), se.B)]
+            ftot = np.zeros(n, dtype=np.int64)
+
+            def collect_pair(sel, oa, ob):
+                ra_ = np.asarray(oa)[: len(sel)]
+                rb_ = np.asarray(ob)[: len(sel)]
+                okb = (ra_[:, 2 * MS + X_OK] != 0) & \
+                      (rb_[:, 2 * MS + X_OK] != 0)
+                # per-dispatch capacity must hold BOTH mates' enumerations
+                ftot[sel] = np.maximum(ra_[:, 2 * MS + X_FTOT],
+                                       rb_[:, 2 * MS + X_FTOT])
+                rows_a[sel[okb]] = ra_[okb]
+                rows_b[sel[okb]] = rb_[okb]
+                done[sel[okb]] = True
+
+            def dispatch_span(sel, cap):
+                oa = se._dispatch(cfg_a, se._pad_window(
+                    (ca, ga, la, ba_, rand_a), sel), cap)
+                ob = se._dispatch(cfg_b, se._pad_window(
+                    (cb, gb, lb, bb_, rand_b), sel), cap)
+                for o in (oa, ob):
+                    try:
+                        o.copy_to_host_async()
+                    except Exception:
+                        pass
+                return sel, oa, ob
+
+            # round 1: optimistic full windows at the small capacity
+            pend = [dispatch_span(np.arange(i, min(i + se.B, n),
+                                            dtype=np.int64), None)
+                    for i in range(0, n, se.B)]
+            for sel, oa, ob in pend:
+                collect_pair(sel, oa, ob)
+            # round 2: exactly bin-packed by the returned candidate totals
+            # (PE enumerates every segment, pairs.cpp:163 — no rank rounds)
+            cap_max = min(se.CANDS_BIG, (1 << 27) - 1)
+            rem = np.nonzero(~done)[0]
+            too_big = rem[ftot[rem] >= cap_max]
+            for k in too_big:
+                rows_a[k] = 0
+                rows_a[k, 2 * MS + X_REPLAY] = 1
+                done[k] = True
+            rem = rem[ftot[rem] < cap_max]
+            if len(rem):
+                d = np.maximum(ftot[rem], 1)
+                csum = np.cumsum(d)
+                spans = []
+                s = 0
+                base = 0
+                for k in range(len(rem)):
+                    if k - s == se.B or csum[k] - base > se.CANDS_BIG:
+                        spans.append((s, k))
+                        s = k
+                        base = csum[k - 1]
+                spans.append((s, len(rem)))
                 pend = []
-                for sel in wins:
-                    oa = se._dispatch(cfg_a, se._pad_window(
-                        (ca, ga, la, ba_, rand_a), sel))
-                    ob = se._dispatch(cfg_b, se._pad_window(
-                        (cb, gb, lb, bb_, rand_b), sel))
-                    for o in (oa, ob):
-                        try:
-                            o.copy_to_host_async()
-                        except Exception:
-                            pass
-                    pend.append((sel, oa, ob))
-                next_todo = []
+                for a0, b0 in spans:
+                    mass = int(csum[b0 - 1] - (csum[a0 - 1] if a0 else 0))
+                    cap = se.CANDS if mass <= se.CANDS else se.CANDS_BIG
+                    pend.append(dispatch_span(rem[a0: b0], cap))
                 for sel, oa, ob in pend:
-                    ra_ = np.asarray(oa)[: len(sel)]
-                    rb_ = np.asarray(ob)[: len(sel)]
-                    ok = (ra_[:, 2 * MS + X_OK] != 0) & \
-                         (rb_[:, 2 * MS + X_OK] != 0)
-                    big = (ra_[:, 2 * MS + X_BIG] != 0) | \
-                          (rb_[:, 2 * MS + X_BIG] != 0)
-                    rows_a[sel[ok]] = ra_[ok]
-                    rows_b[sel[ok]] = rb_[ok]
-                    done[sel[ok]] = True
-                    bad = sel[~ok]
-                    if len(bad):
-                        bigbad = sel[~ok & big]
-                        for k in bigbad:
-                            rows_a[k] = 0
-                            rows_a[k, 2 * MS + X_REPLAY] = 1
-                            done[k] = True
-                        rest = bad[~np.isin(bad, bigbad)]
-                        if len(rest):
-                            next_todo.append(rest)
-                todo = (np.concatenate(next_todo)
-                        if next_todo else np.zeros(0, dtype=np.int64))
+                    collect_pair(sel, oa, ob)
+                for k in np.nonzero(~done)[0]:   # defensive
+                    rows_a[k] = 0
+                    rows_a[k, 2 * MS + X_REPLAY] = 1
+                    done[k] = True
 
             join = self._join(rows_a, rows_b, la.astype(np.int64),
                               lb.astype(np.int64), ba_, bb_, rand_a)

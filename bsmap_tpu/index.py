@@ -262,7 +262,8 @@ def _mmap_npz(path: str) -> dict:
                 arr_off = fh.tell()
             name = info.filename[:-4] if info.filename.endswith(".npy") \
                 else info.filename
-            if fortran or 0 in shape or dtype.hasobject:
+            if fortran or 0 in shape or not shape or dtype.hasobject \
+                    or dtype.kind in "US":
                 out[name] = np.load(path)[name]
             else:
                 out[name] = np.memmap(path, dtype=dtype, mode="r",

@@ -267,6 +267,67 @@ def load_genome(path_or_handle, param: Param) -> PackedGenome:
     )
 
 
+def genome_cache_key(fasta_path: str, param: Param) -> str:
+    import hashlib
+    st = os.stat(fasta_path)
+    h = hashlib.sha256()
+    h.update(f"{os.path.abspath(fasta_path)}:{st.st_size}:{st.st_mtime_ns}:"
+             f"M{param.read_nt}{param.ref_nt}".encode())
+    return h.hexdigest()[:24]
+
+
+def save_genome(path: str, g: PackedGenome) -> None:
+    """Persist the packed genome (uncompressed .npz: memory-mappable, so
+    N local -p workers share one page-cached copy).  WGBS only — RRBS runs
+    rebuild their digestion tables from FASTA."""
+    np.savez(path, names="\n".join(g.names), sizes=g.sizes,
+             n_words=g.n_words, rc_offsets=g.rc_offsets, anchors=g.anchors,
+             refcat=g.refcat, crefcat=g.crefcat, block_id=g.block_id,
+             block_begin=g.block_begin, block_end=g.block_end)
+
+
+def load_genome_npz(path: str, mmap: bool = True) -> PackedGenome:
+    if mmap:
+        from .index import _mmap_npz
+        z = _mmap_npz(path)
+        names = str(np.load(path)["names"])
+    else:
+        z = np.load(path)
+        names = str(z["names"])
+    return PackedGenome(
+        names=names.split("\n"), sizes=np.asarray(z["sizes"]),
+        n_words=np.asarray(z["n_words"]),
+        rc_offsets=np.asarray(z["rc_offsets"]),
+        anchors=np.asarray(z["anchors"]), refcat=z["refcat"],
+        crefcat=z["crefcat"], block_id=np.asarray(z["block_id"]),
+        block_begin=np.asarray(z["block_begin"]),
+        block_end=np.asarray(z["block_end"]),
+        ccgg_sites=None, ccgg_index=None)
+
+
+def load_genome_cached(fasta_path: str, param: Param,
+                       cache_dir: str, log=print) -> PackedGenome:
+    """load_genome through an on-disk packed cache (the reference re-packs
+    the FASTA on every run, main.cpp:457-464; at human scale that is
+    minutes of wall per process)."""
+    if param.RRBS_flag:
+        return load_genome(fasta_path, param)
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir,
+                        f"gen_{genome_cache_key(fasta_path, param)}.npz")
+    if os.path.exists(path):
+        try:
+            return load_genome_npz(path)
+        except Exception:
+            pass
+    g = load_genome(fasta_path, param)
+    try:
+        save_genome(path, g)
+    except Exception:
+        pass
+    return g
+
+
 def ccgg_seglen(genome: PackedGenome, param: Param, chr_packed: int,
                 pos: int, readlen: int) -> tuple[int, int]:
     """CCGG_seglen (dbseq.cpp:541-567): locate the digestion fragment

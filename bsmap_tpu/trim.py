@@ -8,6 +8,8 @@ min-length check -> N-count check -> mismatch-budget rescale
 
 from __future__ import annotations
 
+import numpy as np
+
 from .params import Param, REG_ALPHABET
 from .readio import Read
 
@@ -108,7 +110,8 @@ def trim_low_qual(read: Read, param: Param) -> int:
 
 def count_ns(seq: str) -> int:
     """align.cpp:48-55: bases that are not ACGTacgt."""
-    return sum(1 for ch in seq if REG_ALPHABET[ord(ch)] == 0)
+    sb = np.frombuffer(seq.encode("latin1"), dtype=np.uint8)
+    return int((REG_ALPHABET[sb] == 0).sum())
 
 
 def filter_read(read: Read, param: Param) -> tuple[bool, int]:
