@@ -274,34 +274,44 @@ def run(argv: list[str]) -> int:
 
 
 def _wants_local_mp(o: Options) -> bool:
-    """-p N (>1) parallelizes the per-read Python paths (BSP, -R, RRBS,
-    trimming, PE formatting) by local process sharding — the reference's
-    pthread pool (main.cpp:45-131) recast as the byte-exact --nprocs range
-    machinery.  The native SE block path is already pipeline-threaded and
-    device-bound, so -p is a no-op there."""
+    """-p N (>1) parallelizes the per-read Python paths (RRBS, trimming,
+    PE formatting) by local process sharding — the reference's pthread
+    pool (main.cpp:45-131) recast as the byte-exact --nprocs range
+    machinery.  The native SE block path (SAM, BSP, -R) is already
+    pipeline-threaded and device-bound, so -p is a no-op there."""
     p = o.param
     if p.num_procs <= 1 or os.environ.get("BSMAP_TPU_LOCAL_MP") == "0":
         return False
-    block_path = (p.out_sam == 1 and not p.out_ref and not p.RRBS_flag
-                  and not p.adapters and p.qual_threshold == 0
+    block_path = (not p.RRBS_flag and not p.adapters
+                  and p.qual_threshold == 0
                   and not (o.query_a and o.query_b))
     return not block_path
 
 
 def run_local_multiprocess(o: Options, argv: list[str]) -> int:
     """Spawn -p worker processes over contiguous read ranges (each takes
-    the o.nprocs > 1 branch); output is merged byte-identical."""
+    the o.nprocs > 1 branch); output is merged byte-identical.  Read-range
+    shards are idempotent (SURVEY.md §5: the -B/-E mechanism is the
+    reference's only restart primitive), so a crashed worker is simply
+    re-run once before giving up."""
     import subprocess
 
     n = o.param.num_procs
-    procs = []
-    for k in range(n):
+
+    def spawn(k: int):
         cmd = [sys.executable, "-m", "bsmap_tpu.cli"] + argv + [
             "--nprocs", str(n), "--proc-id", str(k)]
-        procs.append(subprocess.Popen(cmd))
-    rc = [q.wait() for q in procs]
-    if any(rc):
-        sys.exit(f"worker process failed: {rc}")
+        return subprocess.Popen(cmd)
+
+    procs = {k: spawn(k) for k in range(n)}
+    rc = {k: q.wait() for k, q in procs.items()}
+    failed = [k for k, v in rc.items() if v]
+    if failed:
+        print(f"retrying failed worker shards {failed} (idempotent ranges)")
+        retry = {k: spawn(k) for k in failed}
+        rc2 = {k: q.wait() for k, q in retry.items()}
+        if any(rc2.values()):
+            sys.exit(f"worker process failed after retry: {rc2}")
     return 0
 
 
