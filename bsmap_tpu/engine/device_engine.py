@@ -1598,7 +1598,7 @@ class DeviceEngine:
         return results
 
     def _align_arrays(self, cfg: Cfg, rows, read_of, risk=None,
-                      fx_ok: bool = False):
+                      fx_ok: bool = False, defer: bool = False):
         """Core orchestration over pre-encoded live reads: windowed
         optimistic dispatches, overflow retry with candidate-capacity
         escalation, exact host replay with MateState maintenance.  ``rows``
@@ -1665,9 +1665,11 @@ class DeviceEngine:
             else min(self.rank_start, full_rank)
         cap_max = min(self.CANDS_BIG, FTOT_CLAMP - 1)
 
-        def dispatch_packs(rem, demand, maxrank):
+        def dispatch_packs(rem, demand, maxrank, collect_now=True):
             """Exactly bin-packed dispatches over reads `rem` (batch order)
-            whose per-read candidate demand at this maxrank is `demand`."""
+            whose per-read candidate demand at this maxrank is `demand`.
+            With collect_now=False the dispatches are only enqueued and the
+            pending list is returned (deferred-collection pipelining)."""
             d = np.maximum(np.asarray(demand, dtype=np.int64), 1)
             csum = np.cumsum(d)
             spans = []
@@ -1695,6 +1697,8 @@ class DeviceEngine:
                 pend.append((sel, out))
                 self.n_dispatched += 1
             self.t_enqueue += _time.time() - t0
+            if not collect_now:
+                return pend
             nd = ne = 0
             for sel, out in pend:
                 d_, e_ = collect(sel, out)
@@ -1795,7 +1799,11 @@ class DeviceEngine:
 
         # --- round 2: everything unresolved re-dispatches ONCE at full rank
         # (always exact: the kernel applies the progressive-sensitivity
-        # semantics internally), exactly bin-packed by the totals ------------
+        # semantics internally), exactly bin-packed by the totals.  The
+        # dispatches are ENQUEUED here; collection + host replays run in
+        # finish(), which deferred callers (the block pipeline's writer
+        # thread) invoke while the NEXT block's round 1 is already on the
+        # device — the round-2 latency overlaps instead of serializing.
         rem = np.nonzero(~done)[0]
         if len(rem):
             too_big = rem[ftot[rem] >= cap_max]
@@ -1804,51 +1812,57 @@ class DeviceEngine:
                 mark_replay(too_big)
                 done[too_big] = True
                 rem = rem[ftot[rem] < cap_max]
-        if len(rem):
-            dispatch_packs(rem, ftot[rem], full_rank)
+        pend2 = (dispatch_packs(rem, ftot[rem], full_rank,
+                                collect_now=False) if len(rem) else [])
+
+        def finish():
+            for sel, out in pend2:
+                collect(sel, out)
             left = np.nonzero(~done)[0]
             if len(left):      # defensive: packed dispatches always fit
                 mark_replay(left)
                 done[left] = True
 
-        # --- in-order collection with exact MateState maintenance -----------
-        if cfg.lean:
-            replay_flag = ((out_rows[:, 1] & BIT_REPLAY) != 0) | risk
-            dev_soff = dev_coff = None
-        else:
-            replay_flag = (out_rows[:, 2 * MS + X_REPLAY] != 0) | risk
-            dev_soff = out_rows[:, 2 * MS + X_SOFF]
-            dev_coff = out_rows[:, 2 * MS + X_COFF]
-        if self.param.randseed == 0:
-            # -S 0: the kernel selected with rand32=0; only unique-hit
-            # reads are draw-independent — multi-hit reads replay so the
-            # formatter's sequential rand_r picks the real j-th hit
+            # --- in-order collection with exact MateState maintenance -------
             if cfg.lean:
-                multi = (((out_rows[:, 1] & BIT_FOUND) != 0)
-                         & ((out_rows[:, 1] & BIT_MULTI) != 0))
+                replay_flag = ((out_rows[:, 1] & BIT_REPLAY) != 0) | risk
+                dev_soff = dev_coff = None
             else:
-                multi = ((out_rows[:, 2 * MS + X_FOUND] != 0)
-                         & (out_rows[:, 2 * MS + X_SSUM] != 1))
-            replay_flag = replay_flag | multi
-        replay_pos = np.nonzero(replay_flag)[0]
-        replays: dict[int, SEResult] = {}
-        cursor = 0
-        for rpos in replay_pos:
-            rpos = int(rpos)
-            if risk[rpos]:
-                # replay may READ stale state: sync it first
-                self._sync_state_span(read_of, cursor, rpos, dev_soff,
-                                      dev_coff, lens, replay_flag,
-                                      cfg.chains_mode)
-                cursor = rpos + 1   # run_align updates the state itself
-            replays[rpos] = self.host.run_align(read_of(rpos),
-                                                int(buds[rpos]))
-            self.n_replayed += 1
-        # keep the state current through the batch tail: a LATER batch may
-        # contain stale-schedule reads whose replay reads this state
-        self._sync_state_span(read_of, cursor, n, dev_soff, dev_coff, lens,
-                              replay_flag, cfg.chains_mode)
-        return out_rows, replays
+                replay_flag = (out_rows[:, 2 * MS + X_REPLAY] != 0) | risk
+                dev_soff = out_rows[:, 2 * MS + X_SOFF]
+                dev_coff = out_rows[:, 2 * MS + X_COFF]
+            if self.param.randseed == 0:
+                # -S 0: the kernel selected with rand32=0; only unique-hit
+                # reads are draw-independent — multi-hit reads replay so the
+                # formatter's sequential rand_r picks the real j-th hit
+                if cfg.lean:
+                    multi = (((out_rows[:, 1] & BIT_FOUND) != 0)
+                             & ((out_rows[:, 1] & BIT_MULTI) != 0))
+                else:
+                    multi = ((out_rows[:, 2 * MS + X_FOUND] != 0)
+                             & (out_rows[:, 2 * MS + X_SSUM] != 1))
+                replay_flag = replay_flag | multi
+            replay_pos = np.nonzero(replay_flag)[0]
+            replays: dict[int, SEResult] = {}
+            cursor = 0
+            for rpos in replay_pos:
+                rpos = int(rpos)
+                if risk[rpos]:
+                    # replay may READ stale state: sync it first
+                    self._sync_state_span(read_of, cursor, rpos, dev_soff,
+                                          dev_coff, lens, replay_flag,
+                                          cfg.chains_mode)
+                    cursor = rpos + 1   # run_align updates the state itself
+                replays[rpos] = self.host.run_align(read_of(rpos),
+                                                    int(buds[rpos]))
+                self.n_replayed += 1
+            # keep the state current through the batch tail: a LATER batch
+            # may contain stale-schedule reads whose replay reads this state
+            self._sync_state_span(read_of, cursor, n, dev_soff, dev_coff,
+                                  lens, replay_flag, cfg.chains_mode)
+            return out_rows, replays
+
+        return finish if defer else finish()
 
     def format_batch(self, batch: list[Read], fmt) -> str:
         results = self.align_batch(batch)
@@ -1873,11 +1887,13 @@ class DeviceEngine:
                 and not p.adapters and p.qual_threshold == 0)
 
     def align_block(self, block):
-        """Align one ReadBlock.  Returns (live_pos, lean_rows, replays):
-        row t of lean_rows is block read live_pos[t] in the packed 2-int32
-        layout (BIT_*); replays maps row -> exact SEResult.  Blocks with no
-        stale-schedule risk run the lean kernel (8 bytes/read back over the
-        link); risky blocks run the full kernel and get repacked."""
+        """Align one ReadBlock.  Returns (live_pos, finish): round 1 is
+        dispatched AND collected here, round 2 is dispatched but only
+        collected by finish() — the block pipeline calls finish() from the
+        writer thread, overlapping round-2 latency and the exact host
+        replays with the next block's round 1.  finish() -> (rows, replays)
+        where row t is block read live_pos[t] in the packed 3-int32 lean
+        layout (BIT_*) and replays maps row -> exact SEResult."""
         from .. import native
         p = self.param
         lib = native.get_lib()
@@ -1894,7 +1910,7 @@ class DeviceEngine:
         self.n_filtered += len(block) - len(live_pos)
         n = len(live_pos)
         if n == 0:
-            return live_pos, np.zeros((0, 2), np.int32), {}
+            return live_pos, lambda: (np.zeros((0, 3), np.int32), {})
         rows_l = rows[live_pos]
         lens_l = rows_l[:, 2 * nw]
         buds = ((p.max_snp_num + 1) * (lens_l - 1) // lens_l).astype(np.int32)
@@ -1912,12 +1928,17 @@ class DeviceEngine:
                         else ("r" if block.readset == 2 else "f"), lean=lean,
                         nw=nw)
         fx_ok = lean and self._fx_eligible(lens_l, buds)
-        out_rows, replays = self._align_arrays(
+        fin = self._align_arrays(
             cfg, rows_l, lambda t: block.read_obj(int(live_pos[t])),
-            risk=risk, fx_ok=fx_ok)
-        if not cfg.lean and plain_sam:
-            out_rows = _pack_rows_lean(out_rows, cfg.maxseg)
-        return live_pos, out_rows, replays
+            risk=risk, fx_ok=fx_ok, defer=True)
+
+        def finish():
+            out_rows, replays = fin()
+            if not cfg.lean and plain_sam:
+                return _pack_rows_lean(out_rows, cfg.maxseg), replays
+            return out_rows, replays
+
+        return live_pos, finish
 
     def format_block(self, block, fmt) -> bytes:
         """Align + format one ReadBlock as SAM bytes (see align_block /
@@ -1954,7 +1975,8 @@ class DeviceEngine:
         from .. import native
         p = self.param
         lib = native.get_lib()
-        live_pos, out_rows, replays = aligned
+        live_pos, fin = aligned
+        out_rows, replays = fin()
         MS = self._maxseg
         width = 2 * MS + N_EXTRAS
         n_all = len(block)
@@ -2026,7 +2048,8 @@ class DeviceEngine:
         if p.out_sam == 0 or p.out_ref:
             return self._format_block_full(block, aligned, fmt)
         lib = native.get_lib()
-        live_pos, out_rows, replays = aligned
+        live_pos, fin = aligned
+        out_rows, replays = fin()
         n_all = len(block)
         status = np.ones(n_all, dtype=np.int32)          # 1 = QC-filtered
         rows_all = np.zeros((n_all, 2), dtype=np.int32)
