@@ -32,12 +32,16 @@ _jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: kernel shapes are stable across runs, so
 # paying the (slow, remote on some TPU setups) compile once is enough.
+# NOT on CPU: XLA's CPU AOT results are machine-feature-pinned (different
+# XLA flags across processes change the pin set and reloading warns of
+# possible SIGILL), and CPU compiles are fast anyway.
 _cache_dir = _os.environ.get("BSMAP_TPU_JIT_CACHE",
                              _os.path.expanduser("~/.cache/bsmap_tpu_jit"))
 try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # cache is best-effort
     pass
 
