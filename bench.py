@@ -30,7 +30,7 @@ N_READS = int(os.environ.get("BSMAP_TPU_BENCH_READS", 1_000_000))
 
 
 def run_config(gpath: str, rpath: str, out_name: str,
-               read_end: int | None = None):
+               read_end: int | None = None, setup=None):
     """Align one config end-to-end; returns (n_reads, align_secs, phases)."""
     from bsmap_tpu.params import Param
     from bsmap_tpu.reference import load_genome
@@ -45,6 +45,8 @@ def run_config(gpath: str, rpath: str, out_name: str,
     p = Param()
     p.randseed = 17
     p.out_sam = 1
+    if setup is not None:
+        setup(p)
     if read_end is not None:
         p.read_end = read_end   # the generated file may hold more reads
     phases = {}
@@ -118,18 +120,19 @@ def run_config(gpath: str, rpath: str, out_name: str,
 
 
 def run_pe_config():
-    """BASELINE config 2 class: 76nt E. coli pairs, device PE engine.
-    Returns (n_pairs_timed, secs, phases)."""
+    """BASELINE config 2 class: 76nt E. coli pairs through the native PE
+    block pipeline.  Returns (n_pairs_timed, secs, phases)."""
     from tools.genreads import generate_pe
     from bsmap_tpu.params import Param
     from bsmap_tpu.reference import load_genome
     from bsmap_tpu.index import (build_index, index_cache_key, load_index,
                                  save_index)
-    from bsmap_tpu.readio import BATCH_NUM, open_read_stream
+    from bsmap_tpu.readio import BATCH_NUM, detect_format, open_read_stream
     from bsmap_tpu.output.pair_sam import PairFormatter
     from bsmap_tpu.utils import RandR
     from bsmap_tpu.cli import Options
-    from bsmap_tpu.engine.pair_pipeline import make_pair_engine
+    from bsmap_tpu.engine.pair_pipeline import (make_pair_engine,
+                                                run_pair_end_blocks)
 
     gpath, r1, r2 = generate_pe(BENCH_DIR)
     p = Param()
@@ -152,89 +155,54 @@ def run_pe_config():
     o.out_file = os.path.join(BENCH_DIR, "out_pe.sam")
     engine = make_pair_engine(o, genome, index)
     fmt = PairFormatter(genome, p, RandR(1))
-    sa = open_read_stream(r1, p, readset=1)
-    sb = open_read_stream(r2, p, readset=2)
     t0 = time.time()
-    ba, bb = sa.next_batch(4096), sb.next_batch(4096)
-    engine.format_batch(ba, bb, fmt)
+    if hasattr(engine, "warmup_programs"):
+        engine.warmup_programs()
     phases["warmup_s"] = round(time.time() - t0, 1)
     phases["engine"] = type(engine).__name__
-    n = 0
+    use_blocks = (getattr(engine, "supports_pair_blocks", lambda: False)()
+                  and detect_format(r1) < 2)
     t0 = time.time()
-    with open(o.out_file, "w") as fout:
-        while True:
-            ba = sa.next_batch(BATCH_NUM)
-            bb = sb.next_batch(BATCH_NUM)
-            if not ba or len(ba) != len(bb):
-                break
-            mo, uo = engine.format_batch(ba, bb, fmt)
-            fout.write(mo)
-            fout.write(uo)
-            n += len(ba)
+    if use_blocks:
+        n = run_pair_end_blocks(o, genome, engine, fmt)
+    else:
+        sa = open_read_stream(r1, p, readset=1)
+        sb = open_read_stream(r2, p, readset=2)
+        n = 0
+        with open(o.out_file, "w") as fout:
+            while True:
+                ba = sa.next_batch(BATCH_NUM)
+                bb = sb.next_batch(BATCH_NUM)
+                if not ba or len(ba) != len(bb):
+                    break
+                mo, uo = engine.format_batch(ba, bb, fmt)
+                fout.write(mo)
+                fout.write(uo)
+                n += len(ba)
+        sa.close()
+        sb.close()
     dt = time.time() - t0
     phases["aligned_pairs"] = fmt.n_aligned_pairs
     phases["n_replayed"] = getattr(engine, "n_replayed", 0)
-    sa.close()
-    sb.close()
+    phases["blocks"] = use_blocks
     return n, dt, phases
 
 
 def run_rrbs_config():
-    """BASELINE config 3 class: MspI RRBS with adapter + quality trimming
-    (per-read exact path).  Returns (n_reads_timed, secs, phases)."""
+    """BASELINE config 3 class: MspI RRBS with adapter + quality trimming,
+    on the native block path (native FilterReads + rrbs kernel + native
+    ZP/ZL SAM formatting).  Returns (n_reads_timed, secs, phases)."""
     from tools.genreads import generate_rrbs
-    from bsmap_tpu.params import Param
-    from bsmap_tpu.reference import load_genome
-    from bsmap_tpu.index import (build_index, index_cache_key, load_index,
-                                 save_index)
-    from bsmap_tpu.readio import BATCH_NUM, open_read_stream
-    from bsmap_tpu.output.sam import SamFormatter
-    from bsmap_tpu.utils import RandR
-    from bsmap_tpu.cli import Options, make_engine
 
     gpath, rpath = generate_rrbs(BENCH_DIR)
-    p = Param()
-    p.set_digestion_site("C-CGG")      # forces s=12, I=1 (param.cpp:95-106)
-    p.randseed = 17
-    p.out_sam = 1
-    p.adapters.append("AGATCGGAAGAGC")
-    p.qual_threshold = 2
-    p.init_mapping()
-    phases = {}
-    genome = load_genome(gpath, p)
-    cache = os.path.join(BENCH_DIR, "index")
-    os.makedirs(cache, exist_ok=True)
-    key = os.path.join(cache, index_cache_key(gpath, p) + ".npz")
-    if os.path.exists(key):
-        index = load_index(key)
-    else:
-        index = build_index(genome, p)
-        save_index(key, index)
-    o = Options()
-    o.param = p
-    o.query_a = rpath
-    o.out_file = os.path.join(BENCH_DIR, "out_rrbs.sam")
-    engine = make_engine(o, genome, index)
-    fmt = SamFormatter(genome, p, RandR(1))
-    s = open_read_stream(rpath, p, readset=0)
-    t0 = time.time()
-    engine.format_batch(s.next_batch(4096), fmt)
-    phases["warmup_s"] = round(time.time() - t0, 1)
-    phases["engine"] = type(engine).__name__
-    n = 0
-    t0 = time.time()
-    with open(o.out_file, "w") as fout:
-        while True:
-            batch = s.next_batch(BATCH_NUM)
-            if not batch:
-                break
-            fout.write(engine.format_batch(batch, fmt))
-            n += len(batch)
-    dt = time.time() - t0
-    phases["aligned"] = fmt.n_aligned
-    phases["n_replayed"] = getattr(engine, "n_replayed", 0)
-    s.close()
-    return n, dt, phases
+
+    def setup(p):
+        p.set_digestion_site("C-CGG")  # forces s=12, I=1 (param.cpp:95-106)
+        p.adapters.append("AGATCGGAAGAGC")
+        p.qual_threshold = 2
+        p.init_mapping()
+
+    return run_config(gpath, rpath, "out_rrbs.sam", setup=setup)
 
 
 def main() -> None:

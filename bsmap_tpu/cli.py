@@ -282,9 +282,10 @@ def _wants_local_mp(o: Options) -> bool:
     p = o.param
     if p.num_procs <= 1 or os.environ.get("BSMAP_TPU_LOCAL_MP") == "0":
         return False
+    pe = bool(o.query_a and o.query_b)
     block_path = (not p.RRBS_flag and not p.adapters
                   and p.qual_threshold == 0
-                  and not (o.query_a and o.query_b))
+                  and (not pe or (p.out_sam >= 1 and not p.out_ref)))
     return not block_path
 
 
@@ -361,9 +362,12 @@ def run_multihost_pair(o: Options, genome, index) -> int:
     per-mate MateStates reconstructed exactly at the boundary (the
     reference's manual -B/-E splitting covers pairs too: README.txt:83-86,
     main.cpp:87-114); ordered shard merge on process 0."""
-    from .engine.pair_pipeline import make_pair_engine
+    from .engine.pair_pipeline import (make_pair_engine,
+                                       run_pair_end_blocks,
+                                       run_pair_end_reads)
     from .output.pair_sam import PairFormatter
     from .parallel import distributed as dist
+    from .readio import detect_format
 
     p = o.param
     dist.initialize(o.coordinator, o.nprocs, o.proc_id)
@@ -379,37 +383,25 @@ def run_multihost_pair(o: Options, genome, index) -> int:
         sys.exit("failed to open output file for unpaired hits "
                  "(check -2 option)")
     fmt = PairFormatter(genome, p, RandR(1))
-    sa = open_read_stream(o.query_a, p, readset=1)
-    sb = open_read_stream(o.query_b, p, readset=2)
-    timer = StepTimer()
-    fout = open(f"{final_out}.shard{o.proc_id}", "w")
-    fup = (open(f"{final_unpair}.shard{o.proc_id}", "w")
-           if not p.out_sam else None)
-    total_n = 0
-    while True:
-        ba = sa.next_batch(BATCH_NUM)
-        bb = sb.next_batch(BATCH_NUM)
-        if not ba or len(ba) != len(bb):
-            break
-        mo, uo = engine.format_batch(ba, bb, fmt)
-        fout.write(mo)
-        (fup if fup is not None else fout).write(uo)
-        total_n += len(ba)
-        print(f"{total_n} read pairs finished. "
-              f"{timer.total():.1f} secs passed")
-    fout.close()
-    sa.close()
-    sb.close()
+    o.out_file = f"{final_out}.shard{o.proc_id}"
+    if final_unpair:
+        o.out_unpair = f"{final_unpair}.shard{o.proc_id}"
+    if (getattr(engine, "supports_pair_blocks", lambda: False)()
+            and detect_format(o.query_a) < 2
+            and detect_format(o.query_b) < 2):
+        total_n = run_pair_end_blocks(o, genome, engine, fmt, header=False)
+    else:
+        total_n = run_pair_end_reads(o, genome, engine, fmt, header=False)
     open(f"{final_out}.shard{o.proc_id}.done", "w").close()
-    if fup is not None:
-        fup.close()
+    if not p.out_sam and final_unpair:
         open(f"{final_unpair}.shard{o.proc_id}.done", "w").close()
+    o.out_file, o.out_unpair = final_out, final_unpair
     print(f"shard {o.proc_id}: {total_n} pairs, "
           f"{fmt.n_aligned_pairs} aligned pairs")
     if o.proc_id == 0:
         dist.merge_shards(final_out, o.nprocs,
                           sam_header(genome) if p.out_sam else "")
-        if fup is not None:
+        if not p.out_sam and final_unpair:
             dist.merge_shards(final_unpair, o.nprocs, "")
         print(f"merged {o.nprocs} shards -> {final_out}")
         if p.out_sam == 2:

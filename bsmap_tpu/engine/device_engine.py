@@ -1245,6 +1245,19 @@ class DeviceEngine:
         # its stale leading slots are visible when loc < 2)
         self._mapseq_buf = np.zeros(256, dtype=np.uint8)
         self._anchors_i64 = genome.anchors[: genome.n_chr].astype(np.int64)
+        # chr-local digestion sites for the native ZP/ZL tags (dbseq.cpp:541)
+        if param.RRBS_flag and genome.ccgg_sites is not None:
+            so = np.zeros(genome.n_chr + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in genome.ccgg_sites], out=so[1:])
+            self._sites_local = (np.concatenate(genome.ccgg_sites)
+                                 .astype(np.int64) if so[-1]
+                                 else np.zeros(1, np.int64))
+            self._site_off_l = so
+            self._rr_tail = len(param.digest_site) - 2 * param.digest_pos
+        else:
+            self._sites_local = np.zeros(1, np.int64)
+            self._site_off_l = np.zeros(genome.n_chr + 1, np.int64)
+            self._rr_tail = 0
 
     def _set_tiers(self, b: int) -> None:
         """Two candidate capacities only (each distinct capacity is a
@@ -1538,10 +1551,11 @@ class DeviceEngine:
         z[:, width - 3] = min(self.param.max_snp_num, MAXSNPS)
         cfg = self._cfg(chains_mode, lean=lean, nw=nw)
         outs = [self._dispatch(cfg, z, cap) for cap in self.cands_tiers]
-        if lean:
+        if lean and not cfg.rrbs:
             outs.append(self._dispatch(cfg._replace(fixed=True), z,
                                        self.CANDS))
-        if probe and self._probe_ok:
+        if probe and self._probe_ok and not cfg.rrbs:
+            # RRBS never probes or runs the fixed schedule (cfg gates)
             pcfg = cfg._replace(probe=True, lean=False, hits_k=0)
             outs.append(self._dispatch(pcfg, z, 1))
         for o in outs:
@@ -1877,26 +1891,44 @@ class DeviceEngine:
     # -- block fast path (no per-read Python objects) -------------------------
 
     def supports_blocks(self) -> bool:
-        """SAM, BAM-bound SAM, BSP and -R output without trimming/RRBS run
-        entirely on the native block path (BSP is the reference's DEFAULT
-        output format, main.cpp:293-296); RRBS and trimming configs use the
-        per-read path."""
+        """Every SE configuration runs on the native block path now: SAM /
+        BAM-bound SAM / BSP / -R, RRBS (native ZP/ZL + the rrbs kernel),
+        and trimming (native FilterReads)."""
         from .. import native
-        p = self.param
-        return (native.get_lib() is not None and not p.RRBS_flag
-                and not p.adapters and p.qual_threshold == 0)
+        return native.get_lib() is not None
 
     def align_block(self, block):
-        """Align one ReadBlock.  Returns (live_pos, finish): round 1 is
-        dispatched AND collected here, round 2 is dispatched but only
-        collected by finish() — the block pipeline calls finish() from the
-        writer thread, overlapping round-2 latency and the exact host
+        """Align one ReadBlock.  Returns (live_pos, finish, buds_all):
+        round 1 is dispatched AND collected here, round 2 is dispatched but
+        only collected by finish() — the block pipeline calls finish() from
+        the writer thread, overlapping round-2 latency and the exact host
         replays with the next block's round 1.  finish() -> (rows, replays)
         where row t is block read live_pos[t] in the packed 3-int32 lean
-        layout (BIT_*) and replays maps row -> exact SEResult."""
+        layout (BIT_*) and replays maps row -> exact SEResult; buds_all is
+        each block read's post-trim mismatch budget (BSP histogram width)."""
         from .. import native
         p = self.param
         lib = native.get_lib()
+        n_all = len(block)
+        buds_all = np.zeros(n_all, dtype=np.int32)
+        info = None
+        if p.adapters or p.qual_threshold > 0:
+            # native FilterReads: trims rec in place; the -z SAM rescale
+            # quirk rewrites quality bytes, so the buffer is swapped for a
+            # writable copy exactly when that branch can fire
+            rescale = bool(p.out_sam and p.zero_qual != ord("!")
+                           and p.qual_threshold > 0)
+            if rescale:
+                mbuf = np.frombuffer(bytearray(block.buf), dtype=np.uint8)
+            else:
+                mbuf = np.frombuffer(block.buf, dtype=np.uint8)
+            info = native.filter_block(lib, mbuf, block.rec, p,
+                                       block.synth_qual)
+            if rescale:
+                block.buf = mbuf.tobytes()
+                if block.is_fasta:
+                    # synthetic quality is rescaled too (align.cpp:63-67)
+                    block.synth_qual = ord("!") + p.default_qual
         # word count per read: 7 covers reads <= 112 nt (25% less H2D and
         # 8 instead of 11 reference-word gathers in verify)
         max_len = int(block.rec[:, 3].max()) if len(block) else 0
@@ -1904,16 +1936,25 @@ class DeviceEngine:
         rows = native.encode_block_words(
             lib, block.buf, block.rec, p.alphabet, REG_ALPHABET, nw)
         lens = rows[:, 2 * nw]
-        ncnt = rows[:, 2 * nw + 3]       # encoder parks the N count here
-        live = (lens >= p.min_read_size) & (ncnt <= p.max_ns)
+        if info is not None:
+            live = info[:, 0] == 0
+        else:
+            ncnt = rows[:, 2 * nw + 3]   # encoder parks the N count here
+            live = (lens >= p.min_read_size) & (ncnt <= p.max_ns)
         live_pos = np.nonzero(live)[0]
         self.n_filtered += len(block) - len(live_pos)
         n = len(live_pos)
         if n == 0:
-            return live_pos, lambda: (np.zeros((0, 3), np.int32), {})
+            return (live_pos, lambda: (np.zeros((0, 3), np.int32), {}),
+                    buds_all)
         rows_l = rows[live_pos]
         lens_l = rows_l[:, 2 * nw]
-        buds = ((p.max_snp_num + 1) * (lens_l - 1) // lens_l).astype(np.int32)
+        if info is not None:
+            buds = info[live_pos, 1].astype(np.int32)
+        else:
+            buds = ((p.max_snp_num + 1) * (lens_l - 1)
+                    // lens_l).astype(np.int32)
+        buds_all[live_pos] = buds
         rows_l[:, 2 * nw + 1] = buds
         rows_l[:, 2 * nw + 2] = (0 if p.randseed == 0 else myrand_hash(
             block.indices[live_pos], p.randseed).astype(np.uint32).view(
@@ -1938,7 +1979,7 @@ class DeviceEngine:
                 return _pack_rows_lean(out_rows, cfg.maxseg), replays
             return out_rows, replays
 
-        return live_pos, finish
+        return live_pos, finish, buds_all
 
     def format_block(self, block, fmt) -> bytes:
         """Align + format one ReadBlock as SAM bytes (see align_block /
@@ -1975,7 +2016,7 @@ class DeviceEngine:
         from .. import native
         p = self.param
         lib = native.get_lib()
-        live_pos, fin = aligned
+        live_pos, fin, buds_all = aligned
         out_rows, replays = fin()
         MS = self._maxseg
         width = 2 * MS + N_EXTRAS
@@ -2025,7 +2066,8 @@ class DeviceEngine:
                 0x40 * block.readset, bool(p.out_unmap),
                 p.report_repeat_hits, block.synth_qual,
                 self.genome.refcat, total_codes, self._anchors_i64, un,
-                self._mapseq_buf)
+                self._mapseq_buf, int(p.RRBS_flag), self._sites_local,
+                self._site_off_l, self._rr_tail)
         else:
             out, _lo, na = native.format_bsp_block(
                 lib, block.buf, block.rec, status, rows_all, MS,
@@ -2033,7 +2075,7 @@ class DeviceEngine:
                 bool(p.out_unmap), p.report_repeat_hits, p.max_snp_num,
                 p.max_num_hits, block.synth_qual,
                 self.genome.refcat, total_codes, self._anchors_i64, un,
-                self._mapseq_buf)
+                self._mapseq_buf, buds_all)
         fmt.n_aligned += na
         return out
 
@@ -2048,7 +2090,7 @@ class DeviceEngine:
         if p.out_sam == 0 or p.out_ref:
             return self._format_block_full(block, aligned, fmt)
         lib = native.get_lib()
-        live_pos, fin = aligned
+        live_pos, fin, _buds_all = aligned
         out_rows, replays = fin()
         n_all = len(block)
         status = np.ones(n_all, dtype=np.int32)          # 1 = QC-filtered
@@ -2062,7 +2104,8 @@ class DeviceEngine:
             lib, block.buf, block.rec, status, rows_all,
             self._chrname_buf, self._chrname_off, REV_CHAR,
             0x40 * block.readset, bool(p.out_unmap), p.report_repeat_hits,
-            block.synth_qual)
+            block.synth_qual, int(p.RRBS_flag), self._sites_local,
+            self._site_off_l, self._rr_tail)
         fmt.n_aligned += na
         fcum = None
         if p.randseed == 0:

@@ -13,6 +13,12 @@ align.cpp:210's -r 0 abort disabled for PE) emitting compacted per-read hit
 lists, and the pairing (eligibility, winning step/total, reference sweep
 order, reproducible selection) is a vectorized K x K join on the host.
 
+Unpaired-fallback selection is exact: the reference draws from per-level hit
+lists SORTED by (chr, loc) (SortHits4PE runs every level for pairing,
+pairs.cpp:163-168; the draw indexes the sorted lists at pairs.cpp:258-271),
+so the per-mate pick is recomputed host-side from the K compacted hits in
+sorted order — the kernel's discovery-order pick is only valid for SE.
+
 Sequential corners are detected and the PAIR replayed on the exact host
 engine (PairHostEngine), with MateState kept bit-exact per mate:
   * per-mate bucket-cap / snp_thres tightening (kernel replay bit),
@@ -21,6 +27,11 @@ engine (PairHostEngine), with MateState kept bit-exact per mate:
   * stale seed-schedule reads (mixed/short lengths),
   * a filtered mate (the surviving mate then follows the SE early-exit
     semantics of run_align: pairs.cpp:206-212).
+
+The BLOCK path (format_block_pair) is the native PE pipeline: chunked
+native parse (blockio) -> native encode-to-rows -> two kernel dispatches ->
+vectorized join -> native pair SAM formatter (bsmap_native.cpp
+bsmap_format_pair_block), with only the rare replays touching Python.
 """
 
 from __future__ import annotations
@@ -30,13 +41,14 @@ import os as _os
 import numpy as np
 
 from ..index import SeedIndex
-from ..params import MAXSNPS, Param
+from ..params import FIXELEMENT, MAXSNPS, Param, REG_ALPHABET, REV_CHAR
 from ..readio import Read
 from ..reference import PackedGenome
 from ..utils import myrand_hash
 from .device_engine import (DeviceEngine, EngineUnsupported, N_EXTRAS,
-                            X_CHAIN, X_CHRP, X_WLOC, X_REPLAY, X_SOFF,
-                            X_COFF, X_OK, X_BIG)
+                            X_CHAIN, X_CHRP, X_FOUND, X_FTOT, X_II, X_OK,
+                            X_REPLAY, X_SOFF, X_COFF, X_SSUM, X_WLOC,
+                            _pack_inputs)
 from .host_engine import SEResult
 from .pair_host import PairHit, PairHostEngine, PairResult, fix_pair_read_name
 from ..trim import filter_read
@@ -62,8 +74,8 @@ class _SelList:
 
 class PairSEView:
     """SEResult-compatible view of one mate's full kernel row (counts +
-    reproducible selection), for the unpaired-fallback formatter.  The
-    hit-list views are built LAZILY: properly-paired pairs (the vast
+    the exact sorted-order selection), for the unpaired-fallback formatter.
+    The hit-list views are built LAZILY: properly-paired pairs (the vast
     majority) never touch them, and eager construction measured 25 s per
     200k pairs."""
 
@@ -72,18 +84,17 @@ class PairSEView:
     __slots__ = ("n_hit", "n_chit", "read_max_snp_num", "_hit",
                  "_hits", "_chits")
 
-    def __init__(self, row: np.ndarray, maxseg: int, budget: int):
+    def __init__(self, row: np.ndarray, maxseg: int, budget: int, hit):
         counts = row[: 2 * maxseg].reshape(maxseg, 2)
-        ex = row[2 * maxseg:]
         self.n_hit = np.zeros(MAXSNPS + 1, dtype=np.int64)
         self.n_chit = np.zeros(MAXSNPS + 1, dtype=np.int64)
         self.n_hit[:maxseg] = counts[:, 0]
         self.n_chit[:maxseg] = counts[:, 1]
         self.read_max_snp_num = budget
-        # the kernel's selection used the same myrand hash the formatter
-        # will derive its index from, so whichever side/slot is indexed,
-        # the answer is this hit
-        self._hit = (int(ex[X_CHRP]), int(ex[X_WLOC]))
+        # `hit` is the exact draw: the myrand-index-th entry of the
+        # concatenated fwd-then-rc (chr, loc)-sorted best-level lists,
+        # recomputed from the kernel's K compacted hits (_unpaired_sel)
+        self._hit = hit
         self._hits = None
         self._chits = None
 
@@ -103,7 +114,8 @@ class PairSEView:
 class PairDeviceEngine:
     """Batch PE aligner: two fused SE dispatches + host K x K pair join."""
 
-    def __init__(self, genome: PackedGenome, index: SeedIndex, param: Param):
+    def __init__(self, genome: PackedGenome, index: SeedIndex, param: Param,
+                 se_engine: DeviceEngine | None = None):
         if param.RRBS_flag:
             raise EngineUnsupported("device PE: RRBS runs on the host engine")
         # -S 0 (the reference default) is handled like the SE engine does:
@@ -113,15 +125,43 @@ class PairDeviceEngine:
         # (real hit lists for the formatter's draw); draw-free pairs stay on
         # device and consume nothing, so the stream stays in sync.
         self.param = param
-        self.se = DeviceEngine(genome, index, param)
+        self.se = se_engine or DeviceEngine(genome, index, param)
         self.pair_host = PairHostEngine(self.se.host)   # exact replay path
         self.K = PAIR_HITS_K
         self.MS = self.se._maxseg
         self.n_replayed = 0
 
-    def _cfg(self, readset: int):
+    def _cfg(self, readset: int, nw: int = FIXELEMENT):
         mode = "b" if self.param.chains else ("f" if readset == 1 else "r")
-        return self.se._cfg(mode)._replace(pe=True, hits_k=self.K)
+        return self.se._cfg(mode, nw=nw)._replace(pe=True, hits_k=self.K)
+
+    def supports_pair_blocks(self) -> bool:
+        """SAM/BAM PE output without trimming/RRBS/-R runs on the native
+        block path; everything else uses the per-pair path."""
+        from .. import native
+        p = self.param
+        return (native.get_lib() is not None and not p.RRBS_flag
+                and not p.adapters and p.qual_threshold == 0
+                and p.out_sam >= 1 and not p.out_ref
+                and type(self.se)._dispatch is DeviceEngine._dispatch)
+
+    def warmup_programs(self, nw: int = 7) -> None:
+        """First-execute both mates' PE programs at every capacity so the
+        remote compiles overlap (see DeviceEngine.warmup_programs)."""
+        se = self.se
+        if type(se)._dispatch is not DeviceEngine._dispatch:
+            return
+        width = 2 * nw + 4
+        z = np.zeros((se.B, width), dtype=np.int32)
+        z[:, width - 4] = min(100, 16 * nw)
+        z[:, width - 3] = min(self.param.max_snp_num, MAXSNPS)
+        z[:, width - 1] = self.MS - 1
+        outs = []
+        for cfg in (self._cfg(1, nw), self._cfg(2, nw)):
+            for cap in se.cands_tiers:
+                outs.append(se._dispatch(cfg, z, cap))
+        for o in outs:
+            np.asarray(o)
 
     # -- the vectorized GetPairs sweep (pairs.cpp:34-135) ---------------------
 
@@ -228,6 +268,143 @@ class PairDeviceEngine:
             },
         }
 
+    # -- exact unpaired-fallback selection ------------------------------------
+
+    def _unpaired_sel(self, rows, rand):
+        """string_align_unpair's draw (pairs.cpp:258-271) vectorized: at the
+        first nonempty level the reference indexes the CONCATENATED
+        fwd-then-rc lists, each sorted by (chr, loc) (SortHits4PE).  The
+        kernel's compacted K hits are in discovery order, so the sorted-order
+        pick is recomputed here.  Exact whenever the mate's enumeration fits
+        K (else the kernel replay bit routed the pair to the host engine).
+        Returns (chain, chrp, wloc) int32 arrays."""
+        MS, K = self.MS, self.K
+        n = rows.shape[0]
+        if n == 0:
+            z = np.zeros(0, dtype=np.int32)
+            return z, z, z
+        base = 2 * MS + N_EXTRAS
+        loc = rows[:, base: base + K].astype(np.int64)
+        w1 = rows[:, base + K: base + 2 * K]
+        v = w1 >= 0
+        w = w1 & 15
+        ch = (w1 >> 4) & 1
+        cp = (w1 >> 9) & 0xFFFF
+        ii = rows[:, 2 * MS + X_II]
+        ssum = rows[:, 2 * MS + X_SSUM]
+        best = v & (w == ii[:, None])
+        key = ((ch.astype(np.int64) << 48) | (cp.astype(np.int64) << 32)
+               | loc)
+        key = np.where(best, key, np.int64(1) << 62)
+        order = np.argsort(key, axis=1, kind="stable")
+        j = (rand % np.maximum(ssum, 1).astype(np.uint32)).astype(np.int64)
+        r = np.arange(n)
+        sel = order[r, j]
+        return (ch[r, sel].astype(np.int32), cp[r, sel].astype(np.int32),
+                loc[r, sel].astype(np.int32))
+
+    # -- dispatch core ---------------------------------------------------------
+
+    def _align_core(self, rows_in_a, rows_in_b, cfg_a, cfg_b):
+        """Dispatch both mates' packed (n, 2*nw+4) input rows at full rank
+        (PairAlign enumerates every segment, pairs.cpp:163): optimistic
+        round 1, then ONE exactly bin-packed full-capacity round.  Returns
+        (rows_a, rows_b) full-width result rows; reads that could not be
+        enumerated within the big capacity carry the replay bit."""
+        se = self.se
+        MS, K = self.MS, self.K
+        n = rows_in_a.shape[0]
+        width = 2 * MS + N_EXTRAS + 2 * K
+        rows_a = np.zeros((n, width), dtype=np.int32)
+        rows_b = np.zeros((n, width), dtype=np.int32)
+        if n == 0:
+            return rows_a, rows_b
+        done = np.zeros(n, dtype=bool)
+        ftot = np.zeros(n, dtype=np.int64)
+
+        def collect_pair(sel, oa, ob):
+            ra_ = np.asarray(oa)[: len(sel)]
+            rb_ = np.asarray(ob)[: len(sel)]
+            okb = (ra_[:, 2 * MS + X_OK] != 0) & \
+                  (rb_[:, 2 * MS + X_OK] != 0)
+            # per-dispatch capacity must hold BOTH mates' enumerations
+            ftot[sel] = np.maximum(ra_[:, 2 * MS + X_FTOT],
+                                   rb_[:, 2 * MS + X_FTOT])
+            rows_a[sel[okb]] = ra_[okb]
+            rows_b[sel[okb]] = rb_[okb]
+            done[sel[okb]] = True
+
+        def dispatch_span(sel, cap):
+            oa = se._dispatch(cfg_a, se._pad_rows(rows_in_a, sel), cap)
+            ob = se._dispatch(cfg_b, se._pad_rows(rows_in_b, sel), cap)
+            for o in (oa, ob):
+                try:
+                    o.copy_to_host_async()
+                except Exception:
+                    pass
+            return sel, oa, ob
+
+        # round 1: optimistic full windows at the small capacity
+        pend = [dispatch_span(np.arange(i, min(i + se.B, n),
+                                        dtype=np.int64), None)
+                for i in range(0, n, se.B)]
+        for sel, oa, ob in pend:
+            collect_pair(sel, oa, ob)
+        # round 2: exactly bin-packed by the returned candidate totals
+        cap_max = min(se.CANDS_BIG, (1 << 27) - 1)
+        rem = np.nonzero(~done)[0]
+        too_big = rem[ftot[rem] >= cap_max]
+        for k in too_big:
+            rows_a[k] = 0
+            rows_a[k, 2 * MS + X_REPLAY] = 1
+            done[k] = True
+        rem = rem[ftot[rem] < cap_max]
+        if len(rem):
+            d = np.maximum(ftot[rem], 1)
+            csum = np.cumsum(d)
+            spans = []
+            s = 0
+            base = 0
+            for k in range(len(rem)):
+                if k - s == se.B or csum[k] - base > se.CANDS_BIG:
+                    spans.append((s, k))
+                    s = k
+                    base = csum[k - 1]
+            spans.append((s, len(rem)))
+            pend = []
+            for a0, b0 in spans:
+                mass = int(csum[b0 - 1] - (csum[a0 - 1] if a0 else 0))
+                cap = se.CANDS if mass <= se.CANDS else se.CANDS_BIG
+                pend.append(dispatch_span(rem[a0: b0], cap))
+            for sel, oa, ob in pend:
+                collect_pair(sel, oa, ob)
+            for k in np.nonzero(~done)[0]:   # defensive
+                rows_a[k] = 0
+                rows_a[k, 2 * MS + X_REPLAY] = 1
+                done[k] = True
+        return rows_a, rows_b
+
+    def _replay_flag(self, rows_a, rows_b, join, risk):
+        """Pairs whose exact output needs the sequential host engine."""
+        p = self.param
+        MS = self.MS
+        flag = ((rows_a[:, 2 * MS + X_REPLAY] != 0)
+                | (rows_b[:, 2 * MS + X_REPLAY] != 0)
+                | join["cap_replay"] | risk)
+        if p.randseed == 0:
+            # any pair whose output consumes a sequential rand_r draw:
+            # multi-hit winning pair (pairs.cpp:235; -r 0 falls through
+            # to unpaired where the same mates draw), or an unpaired
+            # mate with >1 best-level hits (pairs.cpp:258,271)
+            paired = join["paired"] > 0
+            multi_pair = paired & (join["cnt"] > 1)
+            ma = ((rows_a[:, 2 * MS + X_FOUND] != 0)
+                  & (rows_a[:, 2 * MS + X_SSUM] != 1))
+            mb = ((rows_b[:, 2 * MS + X_FOUND] != 0)
+                  & (rows_b[:, 2 * MS + X_SSUM] != 1))
+            flag = flag | multi_pair | (~paired & (ma | mb))
+        return flag
+
     # -- batch orchestration ---------------------------------------------------
 
     def align_batch(self, batch_a: list[Read], batch_b: list[Read]):
@@ -251,9 +428,6 @@ class PairDeviceEngine:
         live_pos = np.nonzero(live)[0]
         n = len(live_pos)
         MS, K = self.MS, self.K
-        width = 2 * MS + N_EXTRAS + 2 * K
-        rows_a = np.zeros((n, width), dtype=np.int32)
-        rows_b = np.zeros((n, width), dtype=np.int32)
 
         if n:
             idxs = [int(i) for i in live_pos]
@@ -268,99 +442,24 @@ class PairDeviceEngine:
             else:
                 rand_a = myrand_hash(ridx_a, p.randseed)
                 rand_b = myrand_hash(ridx_b, p.randseed)
+            rows_in_a = _pack_inputs(ca, ga, la, ba_, rand_a,
+                                     np.full(n, MS - 1, np.int32))
+            rows_in_b = _pack_inputs(cb, gb, lb, bb_, rand_b,
+                                     np.full(n, MS - 1, np.int32))
             cfg_a, cfg_b = self._cfg(1), self._cfg(2)
             risk = se._stale_risk(la, ba_) | se._stale_risk(lb, bb_)
-
-            from .device_engine import X_FTOT
-            done = np.zeros(n, dtype=bool)
-            ftot = np.zeros(n, dtype=np.int64)
-
-            def collect_pair(sel, oa, ob):
-                ra_ = np.asarray(oa)[: len(sel)]
-                rb_ = np.asarray(ob)[: len(sel)]
-                okb = (ra_[:, 2 * MS + X_OK] != 0) & \
-                      (rb_[:, 2 * MS + X_OK] != 0)
-                # per-dispatch capacity must hold BOTH mates' enumerations
-                ftot[sel] = np.maximum(ra_[:, 2 * MS + X_FTOT],
-                                       rb_[:, 2 * MS + X_FTOT])
-                rows_a[sel[okb]] = ra_[okb]
-                rows_b[sel[okb]] = rb_[okb]
-                done[sel[okb]] = True
-
-            def dispatch_span(sel, cap):
-                oa = se._dispatch(cfg_a, se._pad_window(
-                    (ca, ga, la, ba_, rand_a), sel), cap)
-                ob = se._dispatch(cfg_b, se._pad_window(
-                    (cb, gb, lb, bb_, rand_b), sel), cap)
-                for o in (oa, ob):
-                    try:
-                        o.copy_to_host_async()
-                    except Exception:
-                        pass
-                return sel, oa, ob
-
-            # round 1: optimistic full windows at the small capacity
-            pend = [dispatch_span(np.arange(i, min(i + se.B, n),
-                                            dtype=np.int64), None)
-                    for i in range(0, n, se.B)]
-            for sel, oa, ob in pend:
-                collect_pair(sel, oa, ob)
-            # round 2: exactly bin-packed by the returned candidate totals
-            # (PE enumerates every segment, pairs.cpp:163 — no rank rounds)
-            cap_max = min(se.CANDS_BIG, (1 << 27) - 1)
-            rem = np.nonzero(~done)[0]
-            too_big = rem[ftot[rem] >= cap_max]
-            for k in too_big:
-                rows_a[k] = 0
-                rows_a[k, 2 * MS + X_REPLAY] = 1
-                done[k] = True
-            rem = rem[ftot[rem] < cap_max]
-            if len(rem):
-                d = np.maximum(ftot[rem], 1)
-                csum = np.cumsum(d)
-                spans = []
-                s = 0
-                base = 0
-                for k in range(len(rem)):
-                    if k - s == se.B or csum[k] - base > se.CANDS_BIG:
-                        spans.append((s, k))
-                        s = k
-                        base = csum[k - 1]
-                spans.append((s, len(rem)))
-                pend = []
-                for a0, b0 in spans:
-                    mass = int(csum[b0 - 1] - (csum[a0 - 1] if a0 else 0))
-                    cap = se.CANDS if mass <= se.CANDS else se.CANDS_BIG
-                    pend.append(dispatch_span(rem[a0: b0], cap))
-                for sel, oa, ob in pend:
-                    collect_pair(sel, oa, ob)
-                for k in np.nonzero(~done)[0]:   # defensive
-                    rows_a[k] = 0
-                    rows_a[k, 2 * MS + X_REPLAY] = 1
-                    done[k] = True
-
+            rows_a, rows_b = self._align_core(rows_in_a, rows_in_b,
+                                              cfg_a, cfg_b)
             join = self._join(rows_a, rows_b, la.astype(np.int64),
                               lb.astype(np.int64), ba_, bb_, rand_a)
-            replay_flag = ((rows_a[:, 2 * MS + X_REPLAY] != 0)
-                           | (rows_b[:, 2 * MS + X_REPLAY] != 0)
-                           | join["cap_replay"] | risk)
-            if p.randseed == 0:
-                # any pair whose output consumes a sequential rand_r draw:
-                # multi-hit winning pair (pairs.cpp:235; -r 0 falls through
-                # to unpaired where the same mates draw), or an unpaired
-                # mate with >1 best-level hits (pairs.cpp:258,271)
-                paired = join["paired"] > 0
-                multi_pair = paired & (join["cnt"] > 1)
-                from .device_engine import X_FOUND, X_SSUM
-                ma = ((rows_a[:, 2 * MS + X_FOUND] != 0)
-                      & (rows_a[:, 2 * MS + X_SSUM] != 1))
-                mb = ((rows_b[:, 2 * MS + X_FOUND] != 0)
-                      & (rows_b[:, 2 * MS + X_SSUM] != 1))
-                replay_flag |= multi_pair | (~paired & (ma | mb))
+            replay_flag = self._replay_flag(rows_a, rows_b, join, risk)
+            usel_a = self._unpaired_sel(rows_a, rand_a)
+            usel_b = self._unpaired_sel(rows_b, rand_b)
         else:
             join = None
             replay_flag = np.zeros(0, dtype=bool)
             la = lb = None
+            rows_a = rows_b = np.zeros((0, 1), dtype=np.int32)
 
         # --- in-order assembly with exact dual MateState maintenance --------
         # All host-path pairs (replays, and pairs with a filtered mate whose
@@ -423,10 +522,12 @@ class PairDeviceEngine:
                 cnt = int(join["cnt"][t])
                 bucket = _SelList(cnt, ph)
                 pairhits[int(join["win_total"][t])] = bucket
+            hit_a = (int(usel_a[1][t]), int(usel_a[2][t]))
+            hit_b = (int(usel_b[1][t]), int(usel_b[2][t]))
             results[i] = PairResult(
                 paired=paired, pairhits=pairhits,
-                res_a=PairSEView(rows_a[t], MS, int(buds_a0[i])),
-                res_b=PairSEView(rows_b[t], MS, int(buds_b0[i])),
+                res_a=PairSEView(rows_a[t], MS, int(buds_a0[i]), hit_a),
+                res_b=PairSEView(rows_b[t], MS, int(buds_b0[i]), hit_b),
                 filtered_a=False, filtered_b=False)
         return results
 
@@ -446,3 +547,150 @@ class PairDeviceEngine:
                     ra, rb, pres.filtered_a, pres.filtered_b, pres)
                 (main_parts if p.out_sam else unpair_parts).append(up)
         return "".join(main_parts), "".join(unpair_parts)
+
+    # -- native block path ----------------------------------------------------
+
+    def format_block_pair(self, blk_a, blk_b, fmt) -> bytes:
+        """Align + format one pair of ReadBlocks as SAM bytes through the
+        native pair formatter; replayed pairs are formatted exactly in
+        Python and spliced back in pair order."""
+        from .. import native
+        p = self.param
+        se = self.se
+        lib = native.get_lib()
+        MS, K = self.MS, self.K
+        n_all = len(blk_a)
+        if len(blk_b) != n_all:
+            raise ValueError("PE block length mismatch")
+        bad = native.fix_pair_names(lib, blk_a.buf, blk_a.rec,
+                                    blk_b.buf, blk_b.rec)
+        if bad >= 0:
+            raise ValueError("Paired reads name not match:\n"
+                             f"{blk_a.name(bad)}\n{blk_b.name(bad)}")
+        max_len = max(int(blk_a.rec[:, 3].max()),
+                      int(blk_b.rec[:, 3].max())) if n_all else 0
+        nw = 7 if min(max_len, p.max_readlen) <= 112 else FIXELEMENT
+        rows_in_a0 = native.encode_block_words(
+            lib, blk_a.buf, blk_a.rec, p.alphabet, REG_ALPHABET, nw)
+        rows_in_b0 = native.encode_block_words(
+            lib, blk_b.buf, blk_b.rec, p.alphabet, REG_ALPHABET, nw)
+        ok_a = ((rows_in_a0[:, 2 * nw] >= p.min_read_size)
+                & (rows_in_a0[:, 2 * nw + 3] <= p.max_ns))
+        ok_b = ((rows_in_b0[:, 2 * nw] >= p.min_read_size)
+                & (rows_in_b0[:, 2 * nw + 3] <= p.max_ns))
+        live = ok_a & ok_b
+        live_pos = np.nonzero(live)[0]
+        n = len(live_pos)
+        rows_in_a = rows_in_a0[live_pos]
+        rows_in_b = rows_in_b0[live_pos]
+        la = rows_in_a[:, 2 * nw].astype(np.int64)
+        lb = rows_in_b[:, 2 * nw].astype(np.int64)
+        buds_a = ((p.max_snp_num + 1) * (la - 1) // la).astype(np.int32) \
+            if n else np.zeros(0, np.int32)
+        buds_b = ((p.max_snp_num + 1) * (lb - 1) // lb).astype(np.int32) \
+            if n else np.zeros(0, np.int32)
+        if p.randseed == 0:
+            rand_a = np.zeros(n, dtype=np.uint32)
+            rand_b = np.zeros(n, dtype=np.uint32)
+        else:
+            rand_a = myrand_hash(
+                blk_a.indices[live_pos].astype(np.uint64), p.randseed)
+            rand_b = myrand_hash(
+                blk_b.indices[live_pos].astype(np.uint64), p.randseed)
+        rows_in_a[:, 2 * nw + 1] = buds_a
+        rows_in_b[:, 2 * nw + 1] = buds_b
+        rows_in_a[:, 2 * nw + 2] = rand_a.view(np.int32)
+        rows_in_b[:, 2 * nw + 2] = rand_b.view(np.int32)
+        rows_in_a[:, 2 * nw + 3] = 0
+        rows_in_b[:, 2 * nw + 3] = 0
+        cfg_a, cfg_b = self._cfg(1, nw), self._cfg(2, nw)
+        risk = (se._stale_risk(la, buds_a) | se._stale_risk(lb, buds_b)) \
+            if n else np.zeros(0, dtype=bool)
+        rows_a, rows_b = self._align_core(rows_in_a, rows_in_b, cfg_a, cfg_b)
+        join = self._join(rows_a, rows_b, la, lb, buds_a, buds_b, rand_a) \
+            if n else None
+        replay_flag = (self._replay_flag(rows_a, rows_b, join, risk)
+                       if n else np.zeros(0, dtype=bool))
+
+        # --- exact host replays in pair order with MateState sync -----------
+        st_a, st_b = self.pair_host.state_a, self.pair_host.state_b
+        read_a = lambda t: blk_a.read_obj(int(live_pos[t]))
+        read_b = lambda t: blk_b.read_obj(int(live_pos[t]))
+        mode_a = "b" if p.chains else "f"
+        mode_b = "b" if p.chains else "r"
+
+        def sync_to(cursor: int, t: int) -> int:
+            se._sync_state_span(read_a, cursor, t,
+                                rows_a[:, 2 * MS + X_SOFF],
+                                rows_a[:, 2 * MS + X_COFF], la,
+                                replay_flag, mode_a, state=st_a)
+            se._sync_state_span(read_b, cursor, t,
+                                rows_b[:, 2 * MS + X_SOFF],
+                                rows_b[:, 2 * MS + X_COFF], lb,
+                                replay_flag, mode_b, state=st_b)
+            return t
+
+        status = np.full(n_all, 2, dtype=np.int32)
+        status[~live] = 0
+        rflag_pos = live_pos[replay_flag] if n else live_pos[:0]
+        status[rflag_pos] = 0
+        py_parts: dict[int, str] = {}
+        lcum = np.concatenate([[0], np.cumsum(live)])
+        cursor = 0
+        for i in np.nonzero(status == 0)[0]:
+            i = int(i)
+            t = int(lcum[i])          # live row of this pair (if live)
+            if live[i]:
+                if risk[t]:
+                    cursor = sync_to(cursor, t) + 1
+            else:
+                cursor = sync_to(cursor, t)
+            ra, rb = blk_a.read_obj(i), blk_b.read_obj(i)
+            pres = self.pair_host.align_pair(ra, rb)
+            self.n_replayed += 1
+            fell = 1
+            text = ""
+            if pres.paired:
+                ptext, fell = fmt.string_align_pair(ra, rb, pres)
+                text += ptext
+            if fell == 1 or not pres.paired:
+                text += fmt.string_align_unpair(
+                    ra, rb, pres.filtered_a, pres.filtered_b, pres)
+            py_parts[i] = text
+        if n:
+            sync_to(cursor, n)
+
+        # --- per-pair join rows for the native formatter ---------------------
+        prow = np.zeros((n_all, 22), dtype=np.int32)
+        if n:
+            usel_a = self._unpaired_sel(rows_a, rand_a)
+            usel_b = self._unpaired_sel(rows_b, rand_b)
+            ex = 2 * MS
+            s = join["sel"]
+            cols = np.stack([
+                join["paired"], join["cnt"], s["chain"], s["na"], s["nb"],
+                s["insert"], s["a_chr"], s["a_loc"], s["b_chr"], s["b_loc"],
+                rows_a[:, ex + X_FOUND], rows_a[:, ex + X_II],
+                rows_a[:, ex + X_SSUM], usel_a[0], usel_a[1], usel_a[2],
+                rows_b[:, ex + X_FOUND], rows_b[:, ex + X_II],
+                rows_b[:, ex + X_SSUM], usel_b[0], usel_b[1], usel_b[2],
+            ], axis=1).astype(np.int32)
+            prow[live_pos] = cols
+
+        out, line_off, (npair, na_, nb_) = native.format_pair_block(
+            lib, blk_a.buf, blk_a.rec, blk_b.buf, blk_b.rec, status, prow,
+            se._chrname_buf, se._chrname_off, REV_CHAR, bool(p.out_unmap),
+            p.report_repeat_hits, blk_a.synth_qual, blk_b.synth_qual)
+        fmt.n_aligned_pairs += npair
+        fmt.n_aligned_a += na_
+        fmt.n_aligned_b += nb_
+        if not py_parts:
+            return out
+        pieces, prev = [], 0
+        for i in sorted(py_parts):
+            cut = int(line_off[i])
+            pieces.append(out[prev:cut])
+            pieces.append(py_parts[i].encode("latin1"))
+            prev = cut
+        pieces.append(out[prev:])
+        return b"".join(pieces)

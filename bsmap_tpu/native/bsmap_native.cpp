@@ -227,6 +227,158 @@ void bsmap_index_pass(const uint32_t* refcat, const uint32_t* crefcat,
     }
 }
 
+// FilterReads (align.cpp:579-589) over a parsed block, in place:
+// TrimAdapter (align.cpp:371-425, incl. the RRBS digestion-prefix re-score)
+// -> TrimLowQual (align.cpp:59-79, incl. the -z SAM rescale quirk that
+// rewrites the quality bytes in place — callers pass a WRITABLE buffer
+// exactly when out_sam && zero_qual != '!' && qual_threshold > 0)
+// -> min-length and N-count checks -> mismatch-budget rescale
+// (align.cpp:586).  rec seq/qual lengths are truncated in place.
+// adapters: concatenated bytes with ad_off[n_ad+1] offsets.
+// dig_prefix/prefix_len: digest_site[:len-digest_pos] for the RRBS re-score.
+// info per read (int32 x 3): [filtered, budget, raw_len].
+void bsmap_filter_block(uint8_t* buf, int64_t* rec, int64_t n,
+                        const uint8_t* adapters, const int64_t* ad_off,
+                        int64_t n_ad, int32_t rrbs,
+                        const uint8_t* dig_prefix, int64_t prefix_len,
+                        int32_t pairend, int64_t seed_size,
+                        int32_t qual_threshold, int32_t zero_qual,
+                        int32_t out_sam, int64_t min_read_size,
+                        int64_t max_ns, int64_t max_snp_num,
+                        uint8_t synth_qual, const uint8_t* reg_alphabet,
+                        int32_t* info) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t* r = rec + i * 6;
+        const uint8_t* seq = buf + r[2];
+        int64_t L = r[3];
+        int64_t raw = L;
+        // --- TrimAdapter -------------------------------------------------
+        int64_t cut = -1;
+        if (rrbs) {
+            for (int64_t a = 0; a < n_ad && cut < 0; a++) {
+                const uint8_t* ad = adapters + ad_off[a];
+                int64_t alen = ad_off[a + 1] - ad_off[a];
+                for (int64_t pos = seed_size; pos < L - 5; pos++) {
+                    int64_t m0 = 0, k = 0;
+                    int64_t limit = alen < 15 ? alen : 15;
+                    if (limit > L - pos) limit = L - pos;
+                    while (k < limit) {
+                        if (ad[k] != seq[pos + k]) { if (++m0 > 4) break; }
+                        k++;
+                    }
+                    if (k < m0 * 5) continue;
+                    // digestion-site prefix re-match, C->T tolerant
+                    // (align.cpp:384-387); start = pos - prefix_len
+                    int64_t start = pos - prefix_len;
+                    int64_t m = m0;
+                    for (int64_t t = 0; t < prefix_len; t++) {
+                        uint8_t a2 = dig_prefix[t], r2 = seq[start + t];
+                        if (a2 != r2 && !(a2 == 'C' && r2 == 'T')) m++;
+                    }
+                    if (k >= m * 5) { cut = pos; break; }
+                    if (pairend) {      // G->A tolerant (align.cpp:394-405)
+                        m = m0;
+                        for (int64_t t = 0; t < prefix_len; t++) {
+                            uint8_t a2 = dig_prefix[t], r2 = seq[start + t];
+                            if (a2 != r2 && !(a2 == 'G' && r2 == 'A')) m++;
+                        }
+                        if (k >= m * 5) { cut = pos; break; }
+                    }
+                }
+            }
+        } else {
+            for (int64_t a = 0; a < n_ad && cut < 0; a++) {
+                const uint8_t* ad = adapters + ad_off[a];
+                int64_t alen = ad_off[a + 1] - ad_off[a];
+                for (int64_t pos = seed_size; pos < L - 4; pos++) {
+                    int64_t m0 = 0, k = 0;
+                    int64_t limit = alen < 15 ? alen : 15;
+                    if (limit > L - pos) limit = L - pos;
+                    while (k < limit) {
+                        if (ad[k] != seq[pos + k]) { if (++m0 > 4) break; }
+                        k++;
+                    }
+                    if (k >= m0 * 5 && k > 3) { cut = pos; break; }
+                }
+            }
+        }
+        if (cut >= 0) {
+            r[3] = cut;
+            if (r[5] > cut) r[5] = cut;
+            L = cut;
+        }
+        // --- TrimLowQual -------------------------------------------------
+        int32_t filtered = 0;
+        int64_t qlen = r[5];
+        if (qual_threshold > 0 && qlen != 1) {
+            int32_t zq = zero_qual;
+            if (r[4] >= 0) {
+                uint8_t* q = buf + r[4];
+                if (out_sam && zq != '!') {
+                    int32_t delta = zq - '!';   // align.cpp:63-67 rescale
+                    for (int64_t k = 0; k < qlen; k++)
+                        q[k] = (uint8_t)(q[k] - delta);
+                    zq = '!';
+                }
+                int32_t cutoff = zq + qual_threshold;
+                int64_t ii = qlen;
+                while (ii > 0 && q[ii - 1] <= cutoff) ii--;
+                if (ii == 0 || ii < seed_size) filtered = 1;
+                else {
+                    if (r[5] > ii) r[5] = ii;
+                    if (r[3] > ii) { r[3] = ii; L = ii; }
+                }
+            } else {
+                // synthetic FASTA quality: every lane == synth_qual
+                int32_t cutoff = ((out_sam && zq != '!') ? '!' : zq)
+                                 + qual_threshold;
+                int32_t synth = (out_sam && zq != '!')
+                                ? synth_qual - (zq - '!') : synth_qual;
+                if (synth <= cutoff || qlen < seed_size) filtered = 1;
+            }
+        }
+        // --- length / N checks + budget ----------------------------------
+        if (!filtered && L < min_read_size) filtered = 1;
+        if (!filtered) {
+            int64_t bad = 0;
+            for (int64_t k = 0; k < L; k++)
+                bad += (reg_alphabet[seq[k]] == 0);
+            if (bad > max_ns) filtered = 1;
+        }
+        info[i * 3 + 0] = filtered;
+        info[i * 3 + 1] = (int32_t)(raw > 0
+            ? (max_snp_num + 1) * (L - 1) / raw : 0);
+        info[i * 3 + 2] = (int32_t)raw;
+    }
+}
+
+// CCGG_seglen (dbseq.cpp:541-567 as reproduced in reference.py:331-365):
+// digestion fragment (1-based start, length) containing Watson pos.
+// sites are CHR-LOCAL positions, flattened with per-chr offsets.
+static inline void ccgg_seglen_c(const int64_t* sites, int64_t nsites,
+                                 int64_t tail, int64_t pos, int64_t readlen,
+                                 int64_t* zp, int64_t* zl) {
+    if (nsites == 0) { *zp = 1; *zl = 0; return; }
+    int64_t left = 0, right = nsites - 1;
+    while (left < right - 1) {
+        int64_t mid = (left + right) / 2;
+        int64_t mv = sites[mid];
+        if (mv == pos) { left = mid; right = mid + 1; break; }
+        else if (mv < pos) left = mid;
+        else right = mid;
+    }
+    int64_t seg_start = sites[left];
+    int64_t seg_end = sites[nsites - 1] + tail;
+    while (right < nsites) {
+        seg_end = sites[right] + tail;
+        if (seg_end >= pos + readlen) break;
+        right++;
+    }
+    if (right < nsites) seg_end = sites[right] + tail;
+    *zp = seg_start + 1;
+    *zl = seg_end - seg_start;
+}
+
 static inline uint8_t* put_u32(uint8_t* o, uint32_t v) {
     char tmp[10];
     int k = 0;
@@ -241,6 +393,11 @@ static inline uint8_t* put_u32(uint8_t* o, uint32_t v) {
 static inline uint8_t* put_str(uint8_t* o, const char* s) {
     while (*s) *o++ = (uint8_t)*s++;
     return o;
+}
+
+static inline uint8_t* put_i32(uint8_t* o, int64_t v) {
+    if (v < 0) { *o++ = '-'; v = -v; }
+    return put_u32(o, (uint32_t)v);
 }
 
 // Reference-context string (XR tag / BSP column 9; align.cpp:670-688):
@@ -293,7 +450,9 @@ int64_t bsmap_format_sam_block_xr(
     const uint8_t* revc, int32_t flag_base, int32_t out_unmap, int32_t rrhits,
     uint8_t synth_qual, int32_t out_ref, const uint32_t* refcat,
     int64_t total_codes, const int64_t* anchors, const char* useful_nt,
-    uint8_t* mapseq, uint8_t* out, int64_t out_cap, int64_t* line_off,
+    uint8_t* mapseq, int32_t rrbs, const int64_t* rr_sites,
+    const int64_t* rr_site_off, int64_t rr_tail,
+    uint8_t* out, int64_t out_cap, int64_t* line_off,
     int64_t* n_aligned);
 
 int64_t bsmap_format_sam_block(
@@ -302,11 +461,14 @@ int64_t bsmap_format_sam_block(
     const uint8_t* chrnames, const int64_t* chrname_off,
     const uint8_t* revc,           // 256-entry complement table
     int32_t flag_base, int32_t out_unmap, int32_t rrhits,
-    uint8_t synth_qual, uint8_t* out, int64_t out_cap,
+    uint8_t synth_qual, int32_t rrbs, const int64_t* rr_sites,
+    const int64_t* rr_site_off, int64_t rr_tail,
+    uint8_t* out, int64_t out_cap,
     int64_t* line_off, int64_t* n_aligned) {
     return bsmap_format_sam_block_xr(
         buf, rec, n, status, rows, chrnames, chrname_off, revc, flag_base,
-        out_unmap, rrhits, synth_qual, 0, 0, 0, 0, 0, 0, out, out_cap,
+        out_unmap, rrhits, synth_qual, 0, 0, 0, 0, 0, 0,
+        rrbs, rr_sites, rr_site_off, rr_tail, out, out_cap,
         line_off, n_aligned);
 }
 
@@ -322,7 +484,8 @@ int64_t bsmap_format_sam_block_xr(
     int32_t flag_base, int32_t out_unmap, int32_t rrhits,
     uint8_t synth_qual, int32_t out_ref,
     const uint32_t* refcat, int64_t total_codes, const int64_t* anchors,
-    const char* useful_nt, uint8_t* mapseq,
+    const char* useful_nt, uint8_t* mapseq, int32_t rrbs,
+    const int64_t* rr_sites, const int64_t* rr_site_off, int64_t rr_tail,
     uint8_t* out, int64_t out_cap,
     int64_t* line_off, int64_t* n_aligned) {
     uint8_t* o = out;
@@ -339,7 +502,7 @@ int64_t bsmap_format_sam_block_xr(
         int64_t seq_off = r[2], seq_len = r[3];
         int64_t qual_off = r[4], qual_len = r[5];
         if (out_cap - (o - out) <
-            name_len + 3 * seq_len + qual_len + 128)
+            name_len + 3 * seq_len + qual_len + 192)
             return -1;
         int32_t wloc = rows[i * 2], w1 = rows[i * 2 + 1];
         int32_t found = w1 & 1, chain = (w1 >> 1) & 1, multi = (w1 >> 5) & 1;
@@ -397,6 +560,15 @@ int64_t bsmap_format_sam_block_xr(
                                       seq_len);
             memcpy(o, mapseq, cl2); o += cl2;
         }
+        if (rrbs) {                             // ZP/ZL tags (align.cpp:684-688)
+            int64_t c3 = chrp >> 1;
+            int64_t zp, zl;
+            ccgg_seglen_c(rr_sites + rr_site_off[c3],
+                          rr_site_off[c3 + 1] - rr_site_off[c3], rr_tail,
+                          wloc, seq_len, &zp, &zl);
+            o = put_str(o, "\tZP:i:"); o = put_i32(o, zp);
+            o = put_str(o, "\tZL:i:"); o = put_i32(o, zl);
+        }
         o = put_str(o, "\tZS:Z:");
         *o++ = (chrp & 1) ? '-' : '+';
         *o++ = chain ? '-' : '+';
@@ -420,7 +592,7 @@ int64_t bsmap_format_bsp_block(
     const uint8_t* revc, int32_t out_unmap, int32_t rrhits,
     int32_t max_snp_num, int32_t max_num_hits, uint8_t synth_qual,
     const uint32_t* refcat, int64_t total_codes, const int64_t* anchors,
-    const char* useful_nt, uint8_t* mapseq,
+    const char* useful_nt, uint8_t* mapseq, const int32_t* budgets,
     uint8_t* out, int64_t out_cap, int64_t* line_off, int64_t* n_aligned) {
     uint8_t* o = out;
     int64_t aligned = 0;
@@ -481,8 +653,9 @@ int64_t bsmap_format_bsp_block(
                                       seq_len);
             memcpy(o, mapseq, cl2); o += cl2;
             *o++ = '\t'; o = put_u32(o, (uint32_t)level); *o++ = '\t';
-            int64_t budget = (int64_t)(max_snp_num + 1) * (seq_len - 1)
-                / (seq_len > 0 ? seq_len : 1);
+            // read_max_snp_num after trimming (align.cpp:586): computed by
+            // the caller against the pre-trim raw length
+            int64_t budget = budgets[i];
             for (int64_t ii = 0; ii <= budget; ii++) {
                 if (ii) *o++ = ':';
                 uint32_t h = (ii < maxseg)
@@ -494,6 +667,234 @@ int64_t bsmap_format_bsp_block(
     }
     line_off[n] = o - out;
     *n_aligned += aligned;
+    return o - out;
+}
+
+// ---------------------------------------------------------------------------
+// Pair-end block runtime (pairs.cpp semantics, SAM branches)
+// ---------------------------------------------------------------------------
+
+// FixPairReadName (pairs.cpp:535-555) over parsed rec tables: truncate both
+// names to the common prefix ending at its last digit (SAM mode only;
+// callers gate).  Mutates name_len in both recs.  Returns the index of the
+// first pair with no common prefix (fatal in the reference) or -1.
+int64_t bsmap_fix_pair_names(const uint8_t* bufa, int64_t* reca,
+                             const uint8_t* bufb, int64_t* recb, int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* na = bufa + reca[i * 6 + 0];
+        const uint8_t* nb = bufb + recb[i * 6 + 0];
+        int64_t la = reca[i * 6 + 1], lb = recb[i * 6 + 1];
+        if (la == lb && memcmp(na, nb, (size_t)la) == 0) continue;
+        int64_t d = -1, i0 = la < lb ? la : lb, k = 0;
+        while (k < i0 && na[k] == nb[k]) {
+            if (na[k] >= '0' && na[k] <= '9') d = k;
+            k++;
+        }
+        if (k <= 0) return i;
+        if (d < 0) d = k - 1;
+        reca[i * 6 + 1] = d + 1;
+        recb[i * 6 + 1] = d + 1;
+    }
+    return -1;
+}
+
+static inline uint8_t* put_seq_rc(uint8_t* o, const uint8_t* s, int64_t len,
+                                  const uint8_t* revc, bool rc) {
+    if (rc) { for (int64_t k = len - 1; k >= 0; k--) *o++ = revc[s[k]]; }
+    else { memcpy(o, s, (size_t)len); o += len; }
+    return o;
+}
+
+static inline uint8_t* put_qual2(uint8_t* o, const uint8_t* buf,
+                                 int64_t qual_off, int64_t qual_len,
+                                 int64_t seq_len, uint8_t synth, bool rev) {
+    if (qual_off < 0) { memset(o, synth, (size_t)seq_len); return o + seq_len; }
+    const uint8_t* q = buf + qual_off;
+    if (rev) { for (int64_t k = qual_len - 1; k >= 0; k--) *o++ = q[k]; }
+    else { memcpy(o, q, (size_t)qual_len); o += qual_len; }
+    return o;
+}
+
+// Per-pair join row consumed by bsmap_format_pair_block (int32 columns).
+// The SE-fallback selections (SCH/CHRP/WLOC) are the SORTED-order draws
+// (SortHits4PE + the formatter's myrand index, pairs.cpp:163-168, 258-271)
+// computed vectorized by the Python caller from the kernel's K-hit lists.
+enum {
+    P_PAIRED = 0, P_CNT, P_CHAIN, P_NA, P_NB, P_INS,
+    P_ACHR, P_ALOC, P_BCHR, P_BLOC,
+    P_FND_A, P_II_A, P_SSUM_A, P_SCH_A, P_CHRP_A, P_WLOC_A,
+    P_FND_B, P_II_B, P_SSUM_B, P_SCH_B, P_CHRP_B, P_WLOC_B,
+    P_NCOL
+};
+
+// s_OutHitUnpair SAM branch (pairs.cpp:426-498) for one mate.
+static uint8_t* emit_unpair(
+    uint8_t* o, const uint8_t* buf, const int64_t* r, int32_t readset,
+    int32_t fnd, int32_t lvl, int32_t ssum, int32_t sch, int32_t chrp,
+    int32_t wloc, int32_t m_fnd, int32_t m_ssum, int32_t m_sch,
+    int32_t m_chrp, int32_t m_wloc, const uint8_t* chrnames,
+    const int64_t* chrname_off, const uint8_t* revc, int32_t out_unmap,
+    int32_t rrhits, uint8_t synth, int64_t* n_aligned_m) {
+    int64_t name_off = r[0], name_len = r[1];
+    int64_t seq_off = r[2], seq_len = r[3];
+    int64_t qual_off = r[4], qual_len = r[5];
+    int32_t ma = fnd ? ssum : 0;
+    int32_t mb = m_fnd ? m_ssum : 0;
+    uint32_t flag = 1u | (uint32_t)(0x40 * readset);
+    bool mate_bad = (mb <= 0) || (mb > 1 && rrhits == 0);
+    if (ma <= 0 || (ma > 1 && rrhits == 0)) {
+        if (!out_unmap) return o;
+        flag |= (ma == 0) ? 0x004u : 0x104u;
+        if (mate_bad) {
+            flag |= 0x008u;
+            memcpy(o, buf + name_off, (size_t)name_len); o += name_len;
+            *o++ = '\t'; o = put_u32(o, flag);
+            o = put_str(o, "\t*\t0\t0\t*\t*\t0\t0\t");
+        } else {
+            if ((m_sch ^ (m_chrp & 1)) != 0) flag |= 0x020u;
+            memcpy(o, buf + name_off, (size_t)name_len); o += name_len;
+            *o++ = '\t'; o = put_u32(o, flag);
+            o = put_str(o, "\t*\t0\t0\t*\t");
+            int64_t c2 = m_chrp >> 1;
+            int64_t cl = chrname_off[c2 + 1] - chrname_off[c2];
+            memcpy(o, chrnames + chrname_off[c2], (size_t)cl); o += cl;
+            *o++ = '\t'; o = put_u32(o, (uint32_t)(m_wloc + 1));
+            o = put_str(o, "\t0\t");
+        }
+        memcpy(o, buf + seq_off, (size_t)seq_len); o += seq_len;
+        *o++ = '\t';
+        o = put_qual2(o, buf, qual_off, qual_len, seq_len, synth, false);
+        *o++ = '\n';
+        return o;
+    }
+    (*n_aligned_m)++;
+    if (ma > 1) flag |= 0x100u;
+    bool rc = (sch ^ (chrp & 1)) != 0;
+    if (rc) flag |= 0x010u;
+    if (mate_bad) flag |= 0x008u;
+    else if ((m_sch ^ (m_chrp & 1)) != 0) flag |= 0x020u;
+    memcpy(o, buf + name_off, (size_t)name_len); o += name_len;
+    *o++ = '\t'; o = put_u32(o, flag); *o++ = '\t';
+    int64_t c2 = chrp >> 1;
+    int64_t cl = chrname_off[c2 + 1] - chrname_off[c2];
+    memcpy(o, chrnames + chrname_off[c2], (size_t)cl); o += cl;
+    *o++ = '\t'; o = put_u32(o, (uint32_t)(wloc + 1));
+    o = put_str(o, "\t255\t"); o = put_u32(o, (uint32_t)seq_len);
+    o = put_str(o, "M\t");
+    if (mate_bad) {
+        o = put_str(o, "*\t0\t0\t");
+    } else {
+        int64_t mc2 = m_chrp >> 1;
+        int64_t mcl = chrname_off[mc2 + 1] - chrname_off[mc2];
+        memcpy(o, chrnames + chrname_off[mc2], (size_t)mcl); o += mcl;
+        *o++ = '\t'; o = put_u32(o, (uint32_t)(m_wloc + 1));
+        o = put_str(o, "\t0\t");
+    }
+    o = put_seq_rc(o, buf + seq_off, seq_len, revc, rc);
+    *o++ = '\t';
+    o = put_qual2(o, buf, qual_off, qual_len, seq_len, synth, rc);
+    o = put_str(o, "\tNM:i:"); o = put_u32(o, (uint32_t)lvl);
+    o = put_str(o, "\tZS:Z:");
+    *o++ = (chrp & 1) ? '-' : '+';
+    *o++ = sch ? '-' : '+';
+    *o++ = '\n';
+    return o;
+}
+
+// Format one block of PE SAM lines: s_OutHitPair (pairs.cpp:288-424,
+// overlap trimming included) + the unpaired fallback (pairs.cpp:244-286).
+// No XR/RRBS tags — those configs route to the per-pair Python path.
+// status per pair: 0 = skip (Python-formatted replay), 2 = device row.
+// line_off: (n+1) int64 per-PAIR offsets for replay splicing.
+// counters: int64[3] += {n_aligned_pairs, n_aligned_a, n_aligned_b}.
+// Returns bytes written or -1 when out_cap could be exceeded.
+int64_t bsmap_format_pair_block(
+    const uint8_t* bufa, const int64_t* reca,
+    const uint8_t* bufb, const int64_t* recb, int64_t n,
+    const int32_t* status, const int32_t* prow,
+    const uint8_t* chrnames, const int64_t* chrname_off,
+    const uint8_t* revc, int32_t out_unmap, int32_t rrhits,
+    uint8_t synth_a, uint8_t synth_b,
+    uint8_t* out, int64_t out_cap, int64_t* line_off, int64_t* counters) {
+    uint8_t* o = out;
+    for (int64_t i = 0; i < n; i++) {
+        line_off[i] = o - out;
+        if (status[i] == 0) continue;
+        const int64_t* ra = reca + i * 6;
+        const int64_t* rb = recb + i * 6;
+        const int32_t* pr = prow + i * P_NCOL;
+        if (out_cap - (o - out) < ra[1] + rb[1] + 3 * (ra[3] + rb[3])
+                + ra[5] + rb[5] + 512)
+            return -1;
+        int fell = 1;
+        if (pr[P_PAIRED] > 0 && (pr[P_CNT] == 1 || rrhits == 1)) {
+            fell = 0;
+            counters[0]++;
+            int32_t ins = pr[P_INS], chain = pr[P_CHAIN];
+            int32_t achr = pr[P_ACHR], bchr = pr[P_BCHR];
+            int64_t aloc = pr[P_ALOC], bloc = pr[P_BLOC];
+            int64_t la = ra[3], qa = ra[5], lb = rb[3], qb = rb[5];
+            // adapter run-through removal at output time (pairs.cpp:296-306)
+            if (ins < la) {
+                if ((chain ^ (achr & 1)) != 0) aloc += la - ins;
+                la = ins; if (qa > ins) qa = ins;
+            }
+            if (ins < lb) {
+                if (((1 - chain) ^ (bchr & 1)) != 0) bloc += lb - ins;
+                lb = ins; if (qb > ins) qb = ins;
+            }
+            for (int m = 0; m < 2; m++) {
+                const int64_t* r = m == 0 ? ra : rb;
+                const uint8_t* buf = m == 0 ? bufa : bufb;
+                int32_t chain_m = m == 0 ? chain : 1 - chain;
+                int32_t chrp = m == 0 ? achr : bchr;
+                int64_t loc = m == 0 ? aloc : bloc;
+                int64_t mloc = m == 0 ? bloc : aloc;
+                int32_t nm = m == 0 ? pr[P_NA] : pr[P_NB];
+                int64_t slen = m == 0 ? la : lb;
+                int64_t qlen = m == 0 ? qa : qb;
+                uint8_t synth = m == 0 ? synth_a : synth_b;
+                uint32_t flag = 0x3u | (pr[P_CNT] > 1 ? 0x100u : 0u)
+                                | (uint32_t)(0x40 << m);
+                bool rc = (chain_m ^ (chrp & 1)) != 0;
+                flag |= rc ? 0x10u : 0x20u;
+                int64_t isize = rc ? -(int64_t)ins : (int64_t)ins;
+                memcpy(o, buf + r[0], (size_t)r[1]); o += r[1];
+                *o++ = '\t'; o = put_u32(o, flag); *o++ = '\t';
+                int64_t c2 = chrp >> 1;
+                int64_t cl = chrname_off[c2 + 1] - chrname_off[c2];
+                memcpy(o, chrnames + chrname_off[c2], (size_t)cl); o += cl;
+                *o++ = '\t'; o = put_u32(o, (uint32_t)(loc + 1));
+                o = put_str(o, "\t255\t"); o = put_u32(o, (uint32_t)slen);
+                o = put_str(o, "M\t=\t");
+                o = put_u32(o, (uint32_t)(mloc + 1));
+                *o++ = '\t'; o = put_i32(o, isize); *o++ = '\t';
+                o = put_seq_rc(o, buf + r[2], slen, revc, rc);
+                *o++ = '\t';
+                o = put_qual2(o, buf, r[4], qlen, slen, synth, rc);
+                o = put_str(o, "\tNM:i:"); o = put_u32(o, (uint32_t)nm);
+                o = put_str(o, "\tZS:Z:");
+                *o++ = (chrp & 1) ? '-' : '+';
+                *o++ = chain_m ? '-' : '+';
+                *o++ = '\n';
+            }
+        }
+        if (fell) {
+            o = emit_unpair(o, bufa, ra, 1, pr[P_FND_A], pr[P_II_A],
+                            pr[P_SSUM_A], pr[P_SCH_A], pr[P_CHRP_A],
+                            pr[P_WLOC_A], pr[P_FND_B], pr[P_SSUM_B],
+                            pr[P_SCH_B], pr[P_CHRP_B], pr[P_WLOC_B],
+                            chrnames, chrname_off, revc, out_unmap, rrhits,
+                            synth_a, &counters[1]);
+            o = emit_unpair(o, bufb, rb, 2, pr[P_FND_B], pr[P_II_B],
+                            pr[P_SSUM_B], pr[P_SCH_B], pr[P_CHRP_B],
+                            pr[P_WLOC_B], pr[P_FND_A], pr[P_SSUM_A],
+                            pr[P_SCH_A], pr[P_CHRP_A], pr[P_WLOC_A],
+                            chrnames, chrname_off, revc, out_unmap, rrhits,
+                            synth_b, &counters[2]);
+        }
+    }
+    line_off[n] = o - out;
     return o - out;
 }
 
