@@ -29,6 +29,20 @@ BENCH_DIR = os.environ.get("BSMAP_TPU_BENCH_DIR", "/tmp/bsmap_tpu_bench")
 N_READS = int(os.environ.get("BSMAP_TPU_BENCH_READS", 1_000_000))
 
 
+def measured_baselines() -> dict:
+    """Per-config reference numbers measured on THIS box by
+    tools/ref_baseline.py (same data, same flags, single thread) — the
+    honest denominators (r4 verdict item 6).  Falls back to the recorded
+    1.8e5 headline figure when absent."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
 def run_config(gpath: str, rpath: str, out_name: str,
                read_end: int | None = None, setup=None):
     """Align one config end-to-end; returns (n_reads, align_secs, phases)."""
@@ -207,6 +221,9 @@ def run_rrbs_config():
 
 def main() -> None:
     from tools.genreads import generate, generate_chr21
+    mb = measured_baselines()
+    se_base = mb.get("se_wgbs_100nt_v2", {}).get(
+        "reads_per_sec", REF_BASELINE_READS_PER_SEC)
     gpath, rpath = generate(BENCH_DIR, n_reads=N_READS)
     n, dt, phases = run_config(gpath, rpath, "out.sam")
     value = n / dt
@@ -214,9 +231,10 @@ def main() -> None:
         "metric": "se_wgbs_100nt_v2_align_reads_per_sec",
         "value": round(value, 1),
         "unit": "reads/s",
-        "vs_baseline": round(value / REF_BASELINE_READS_PER_SEC, 3),
+        "vs_baseline": round(value / se_base, 3),
     }), flush=True)
-    print(f"# 10Mb config: {n} reads in {dt:.2f}s, {phases}",
+    print(f"# 10Mb config: {n} reads in {dt:.2f}s, "
+          f"ref_baseline={se_base:.0f}/s, {phases}",
           file=sys.stderr, flush=True)
 
     if os.environ.get("BSMAP_TPU_BENCH_SCALING", "1") != "0":
@@ -249,8 +267,10 @@ def main() -> None:
         # BASELINE config 2 class: PE throughput, reported alongside
         try:
             n3, dt3, ph3 = run_pe_config()
+            pe_base = mb.get("pe_76nt", {}).get("pairs_per_sec", 0)
+            vsb = f" (vs_ref {n3 / dt3 / pe_base:.2f}x)" if pe_base else ""
             print(f"# pe config: {n3} pairs in {dt3:.2f}s = "
-                  f"{n3 / dt3:.0f} pairs/s, {ph3}",
+                  f"{n3 / dt3:.0f} pairs/s{vsb}, {ph3}",
                   file=sys.stderr, flush=True)
         except Exception as e:   # noqa: BLE001
             print(f"# pe config failed: {e}", file=sys.stderr, flush=True)
@@ -259,8 +279,10 @@ def main() -> None:
         # BASELINE config 3 class: RRBS + trimming (per-read exact path)
         try:
             n4, dt4, ph4 = run_rrbs_config()
+            rb = mb.get("rrbs_mspi_trim", {}).get("reads_per_sec", 0)
+            vsb = f" (vs_ref {n4 / dt4 / rb:.2f}x)" if rb else ""
             print(f"# rrbs config: {n4} reads in {dt4:.2f}s = "
-                  f"{n4 / dt4:.0f} reads/s, {ph4}",
+                  f"{n4 / dt4:.0f} reads/s{vsb}, {ph4}",
                   file=sys.stderr, flush=True)
         except Exception as e:   # noqa: BLE001
             print(f"# rrbs config failed: {e}", file=sys.stderr, flush=True)
@@ -274,9 +296,11 @@ def main() -> None:
             g21, r21 = generate_chr21(BENCH_DIR, n_reads=n21)
             n2, dt2, ph2 = run_config(g21, r21, "out_chr21.sam",
                                       read_end=n21)
+            c21 = mb.get("chr21_class", {}).get("reads_per_sec",
+                                                REF_BASELINE_READS_PER_SEC)
             print(f"# chr21 config: {n2} reads in {dt2:.2f}s = "
                   f"{n2 / dt2:.0f} reads/s (vs_baseline "
-                  f"{n2 / dt2 / REF_BASELINE_READS_PER_SEC:.3f}), {ph2}",
+                  f"{n2 / dt2 / c21:.3f}, ref_baseline={c21:.0f}/s), {ph2}",
                   file=sys.stderr, flush=True)
         except Exception as e:   # noqa: BLE001
             print(f"# chr21 config failed: {e}", file=sys.stderr,

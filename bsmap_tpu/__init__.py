@@ -32,13 +32,24 @@ _jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: kernel shapes are stable across runs, so
 # paying the (slow, remote on some TPU setups) compile once is enough.
-# NOT on CPU: XLA's CPU AOT results are machine-feature-pinned (different
-# XLA flags across processes change the pin set and reloading warns of
-# possible SIGILL), and CPU compiles are fast anyway.
+# NOT on CPU by default: XLA's CPU AOT results are machine-feature-pinned
+# (different XLA flags across processes change the pin set and reloading
+# warns of possible SIGILL).  Test/CI subprocesses opt in with
+# BSMAP_TPU_CPU_JIT_CACHE=1 — they run many short-lived CLI processes with
+# IDENTICAL flags, so the cache is safe there and cuts re-verification from
+# a per-process recompile to a disk load; the cache directory is suffixed
+# with a hash of the XLA flags so differently-pinned entries never mix.
 _cache_dir = _os.environ.get("BSMAP_TPU_JIT_CACHE",
                              _os.path.expanduser("~/.cache/bsmap_tpu_jit"))
 try:
-    if not _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    _is_cpu = _os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    _cpu_opt_in = _os.environ.get("BSMAP_TPU_CPU_JIT_CACHE") == "1"
+    if not _is_cpu or _cpu_opt_in:
+        if _is_cpu:
+            import hashlib as _hl
+            _tag = _hl.sha1(
+                _os.environ.get("XLA_FLAGS", "").encode()).hexdigest()[:10]
+            _cache_dir = _cache_dir + "_cpu_" + _tag
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

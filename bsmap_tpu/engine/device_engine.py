@@ -992,21 +992,33 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     if cfg.hits_k:
         # compacted per-read hit list (discovery order): wloc + packed
         # (wmm 4b | chain<<4 | seg-rank<<5 | chrp<<9); reads with more than
-        # K accepted hits raise the replay bit (exact host fallback)
+        # K accepted hits raise the replay bit (exact host fallback).
+        # Under index sharding each hit's slot is its GLOBAL discovery rank
+        # and the lists psum-merge exactly (each hit is owned by exactly
+        # one region shard, so slots are disjoint across devices).
         K = cfg.hits_k
         acc_i = accepted.astype(jnp.int32)
-        hcs = jnp.cumsum(acc_i)
-        read_start = _g1(starts, rid * NB)
-        hbase = jnp.where(read_start > 0,
-                          _g1(hcs, jnp.clip(read_start - 1, 0, CANDS - 1)), 0)
-        hrank = hcs - hbase - 1                       # 0-based within read
+        if ax:
+            hrank = global_rank_of(accepted) - 1      # 0-based within read
+        else:
+            hcs = jnp.cumsum(acc_i)
+            read_start = _g1(starts, rid * NB)
+            hbase = jnp.where(read_start > 0,
+                              _g1(hcs, jnp.clip(read_start - 1, 0,
+                                                CANDS - 1)), 0)
+            hrank = hcs - hbase - 1                   # 0-based within read
         tgt = jnp.where(accepted & (hrank < K), rid * K + hrank, B * K)
         hw1 = wmm | (chain << 4) | (rank << 5) | (chrp << 9)
         hits_loc = jnp.zeros((B * K + 1,), jnp.int32).at[tgt].set(
             wloc, mode="drop").at[B * K].set(0)[: B * K].reshape(B, K)
-        hits_w1 = jnp.full((B * K + 1,), -1, jnp.int32).at[tgt].set(
-            hw1, mode="drop")[: B * K].reshape(B, K)
+        hits_w1 = jnp.zeros((B * K + 1,), jnp.int32).at[tgt].set(
+            hw1 + 1, mode="drop")[: B * K].reshape(B, K)
         nacc = jnp.zeros((B,), jnp.int32).at[rid].add(acc_i)
+        if ax:
+            hits_loc = jax.lax.psum(hits_loc, ax)
+            hits_w1 = jax.lax.psum(hits_w1, ax)
+            nacc = jax.lax.psum(nacc, ax)
+        hits_w1 = hits_w1 - 1                         # empty slots -> -1
         replay = replay | (nacc > K)
         hit_cols = [hits_loc, hits_w1]
 

@@ -34,19 +34,40 @@ def disp(txt: str, quiet: bool, nt: int = 0) -> None:
 BS_CONVERSION = {"+": ("C", "T"), "-": ("G", "A")}
 
 
+def scan_fasta_chroms(path: str):
+    """One cheap pass: [(name, length)] in file order (drives chromosome
+    batching; the reference documents running per--c subsets to bound its
+    ~26 GB whole-genome RSS, README.txt:217-232)."""
+    out = []
+    cr, n = "", 0
+    for line in open(path):
+        if line.startswith(">"):
+            if cr:
+                out.append((cr, n))
+            cr = line[1:-1].split()[0]
+            n = 0
+        else:
+            n += len(line.strip())
+    if cr:
+        out.append((cr, n))
+    return out
+
+
 def load_ref(path: str, chroms):
+    """Reference as BYTES per chromosome (half the footprint of the
+    str+bytes pair: context slices and CpG scans work on bytes directly)."""
     ref = {}
     cr, seq = "", []
     for line in open(path):
         if line.startswith(">"):
             if cr and (not chroms or cr in chroms):
-                ref[cr] = "".join(seq).upper()
+                ref[cr] = "".join(seq).upper().encode("latin1")
             cr = line[1:-1].split()[0]
             seq = []
         else:
             seq.append(line.strip())
     if cr and (not chroms or cr in chroms):
-        ref[cr] = "".join(seq).upper()
+        ref[cr] = "".join(seq).upper().encode("latin1")
     return ref
 
 
@@ -60,9 +81,8 @@ class MethCounter:
         self.coverage = ({cr: np.zeros(len(s), dtype=np.uint8)
                           for cr, s in ref.items()} if rm_dup else None)
         self.nmap = 0
-        # byte caches for vectorized counting
-        self._refbytes = {cr: np.frombuffer(s.encode("latin1"),
-                                            dtype=np.uint8)
+        # zero-copy byte views for vectorized counting
+        self._refbytes = {cr: np.frombuffer(s, dtype=np.uint8)
                           for cr, s in ref.items()}
 
     def add(self, seq: str, strand0: str, cr: str, pos: int) -> None:
@@ -194,6 +214,12 @@ def run(argv=None) -> int:
                     dest="combine_cpg")
     ap.add_argument("-m", "--min-depth", dest="min_depth", type=int,
                     default=1)
+    ap.add_argument("-N", "--batch-bases", dest="batch_bases", type=int,
+                    default=800_000_000,
+                    help="process chromosomes in groups of at most this "
+                         "many bases to bound RSS (~10 B/base); 0 = one "
+                         "pass over everything (reference behavior, "
+                         "~26 GB for human: README.txt:217)")
     ap.add_argument("infiles", nargs="+")
     opts = ap.parse_args(argv)
     if not opts.reffile:
@@ -202,11 +228,53 @@ def run(argv=None) -> int:
         ap.error("Missing output file name, use -o or --out option.")
     chroms_opt = opts.chroms.split(",") if opts.chroms else []
 
-    disp(f"reading reference {opts.reffile} ...", opts.quiet)
-    ref = load_ref(opts.reffile, chroms_opt)
-    counter = MethCounter(ref, opts.rm_dup)
-    chroms = set(ref.keys())
+    # chromosome batching: the per-base counters dominate RSS, so large
+    # genomes are processed in sorted-order chromosome groups — the output
+    # is per-chromosome-sorted, so concatenated group output is
+    # byte-identical to a single whole-genome pass
+    info = scan_fasta_chroms(opts.reffile)
+    sizes = dict(info)
+    sel = sorted(c for c, _ in info if not chroms_opt or c in chroms_opt)
+    groups: list[list[str]] = []
+    if opts.batch_bases <= 0:
+        groups = [sel]
+    else:
+        cur: list[str] = []
+        acc = 0
+        for c in sel:
+            if cur and acc + sizes[c] > opts.batch_bases:
+                groups.append(cur)
+                cur, acc = [], 0
+            cur.append(c)
+            acc += sizes[c]
+        if cur:
+            groups.append(cur)
 
+    nmap = nc = nd = 0
+    with open(opts.outfile, "w") as fout:
+        fout.write("chr\tpos\tstrand\tcontext\tratio\ttotal_C\tmethy_C\t"
+                   "CI_lower\tCI_upper\n")
+        for gi, group in enumerate(groups):
+            tag = (f" (chromosome group {gi + 1}/{len(groups)})"
+                   if len(groups) > 1 else "")
+            disp(f"reading reference {opts.reffile} ...{tag}", opts.quiet)
+            ref = load_ref(opts.reffile, set(group))
+            counter = MethCounter(ref, opts.rm_dup)
+            gnc, gnd = _process_group(ref, counter, opts, fout)
+            nmap += counter.nmap
+            nc += gnc
+            nd += gnd
+            del ref, counter
+    disp("done.", opts.quiet)
+    print(f"total {nmap} valid mappings, {nc} covered cytosines, "
+          f"average coverage: {(float(nd) / nc if nc else 0):.2f} fold.")
+    return 0
+
+
+def _process_group(ref: dict, counter: MethCounter, opts, fout):
+    """Count one chromosome group from every input file, CpG-combine, and
+    append its (sorted) ratio lines.  Returns (covered, depth_sum)."""
+    chroms = set(ref.keys())
     for infile in opts.infiles:
         nline = 0
         disp(f"reading {infile} ...", opts.quiet)
@@ -234,46 +302,40 @@ def run(argv=None) -> int:
         for cr in depth:
             refcr = ref[cr]
             dc, mc = depth[cr], meth[cr]
-            p = refcr.find("CG")
+            p = refcr.find(b"CG")
             while p >= 0:
                 dc[p] += dc[p + 1]
                 mc[p] += mc[p + 1]
                 dc[p + 1] = 0
                 mc[p + 1] = 0
-                p = refcr.find("CG", p + 2)
+                p = refcr.find(b"CG", p + 2)
 
     disp(f"writing {opts.outfile} ...", opts.quiet)
-    ss = {"C": "+", "G": "-"}
+    ss = {ord("C"): "+", ord("G"): "-"}
     z95, z95sq = 1.96, 1.96 * 1.96
     nc, nd = 0, 0
-    with open(opts.outfile, "w") as fout:
-        fout.write("chr\tpos\tstrand\tcontext\tratio\ttotal_C\tmethy_C\t"
-                   "CI_lower\tCI_upper\n")
-        for cr in sorted(depth.keys()):
-            depthcr, methcr, refcr = depth[cr], meth[cr], ref[cr]
-            pos_idx = np.flatnonzero(depthcr >= opts.min_depth)
-            for i in pos_idx:
-                i = int(i)
-                d = int(depthcr[i])
-                nc += 1
-                nd += d
-                m = int(methcr[i])
-                if m == 0 and not opts.meth0:
-                    continue
-                ratio = float(m) / d
-                seq = refcr[i - 2: i + 3]
-                strand = ss[refcr[i]]
-                pmid = ratio + z95sq / (2 * d)
-                sd = z95 * ((ratio * (1 - ratio) / d
-                             + z95sq / (4 * d * d)) ** 0.5)
-                denom = 1 + z95sq / d
-                cil, ciu = (pmid - sd) / denom, (pmid + sd) / denom
-                fout.write(f"{cr}\t{i + 1}\t{strand}\t{seq}\t{ratio:.3f}\t"
-                           f"{d}\t{m}\t{cil:.3f}\t{ciu:.3f}\n")
-    disp("done.", opts.quiet)
-    print(f"total {counter.nmap} valid mappings, {nc} covered cytosines, "
-          f"average coverage: {(float(nd) / nc if nc else 0):.2f} fold.")
-    return 0
+    for cr in sorted(depth.keys()):
+        depthcr, methcr, refcr = depth[cr], meth[cr], ref[cr]
+        pos_idx = np.flatnonzero(depthcr >= opts.min_depth)
+        for i in pos_idx:
+            i = int(i)
+            d = int(depthcr[i])
+            nc += 1
+            nd += d
+            m = int(methcr[i])
+            if m == 0 and not opts.meth0:
+                continue
+            ratio = float(m) / d
+            seq = refcr[i - 2: i + 3].decode("latin1")
+            strand = ss[refcr[i]]
+            pmid = ratio + z95sq / (2 * d)
+            sd = z95 * ((ratio * (1 - ratio) / d
+                         + z95sq / (4 * d * d)) ** 0.5)
+            denom = 1 + z95sq / d
+            cil, ciu = (pmid - sd) / denom, (pmid + sd) / denom
+            fout.write(f"{cr}\t{i + 1}\t{strand}\t{seq}\t{ratio:.3f}\t"
+                       f"{d}\t{m}\t{cil:.3f}\t{ciu:.3f}\n")
+    return nc, nd
 
 
 def _sam_lines(fh):

@@ -10,6 +10,9 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("BSMAP_TPU_DEV_BATCH", "2048")
 os.environ.setdefault("BSMAP_TPU_CANDS_PER_READ", "16")
+# short-lived CLI subprocesses with identical flags: let them share the
+# flag-keyed XLA compile cache instead of recompiling per process
+os.environ.setdefault("BSMAP_TPU_CPU_JIT_CACHE", "1")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -25,7 +25,7 @@ def aligned_data(reference_binary, tmp_path_factory):
 
 
 def _run_module(mod, args, cwd):
-    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+    env = {"PYTHONPATH": str(REPO), "BSMAP_TPU_CPU_JIT_CACHE": "1", "PATH": "/usr/bin:/bin",
            "JAX_PLATFORMS": "cpu", "HOME": "/root"}
     r = subprocess.run([sys.executable, "-m", mod] + args, cwd=cwd,
                        capture_output=True, env=env)

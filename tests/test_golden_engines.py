@@ -131,7 +131,7 @@ def test_s0_pe_device_matches_host(pe_eng_data, extra):
     from .conftest import REPO
 
     d = pe_eng_data
-    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+    env = {"PYTHONPATH": str(REPO), "BSMAP_TPU_CPU_JIT_CACHE": "1", "PATH": "/usr/bin:/bin",
            "JAX_PLATFORMS": "cpu", "BSMAP_TPU_DEV_BATCH": "2048",
            "BSMAP_TPU_CANDS_PER_READ": "16", "HOME": "/root",
            "BSMAP_TPU_RANDR_SEED": "1234"}
@@ -160,7 +160,7 @@ def test_s0_device_matches_host(eng_data):
     from .conftest import REPO
 
     d = eng_data
-    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+    env = {"PYTHONPATH": str(REPO), "BSMAP_TPU_CPU_JIT_CACHE": "1", "PATH": "/usr/bin:/bin",
            "JAX_PLATFORMS": "cpu", "BSMAP_TPU_DEV_BATCH": "2048",
            "BSMAP_TPU_CANDS_PER_READ": "16", "HOME": "/root",
            "BSMAP_TPU_RANDR_SEED": "99"}

@@ -17,7 +17,7 @@ def run_ref(binary, workdir, args):
 
 
 def run_ours(workdir, args, engine="host"):
-    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+    env = {"PYTHONPATH": str(REPO), "BSMAP_TPU_CPU_JIT_CACHE": "1", "PATH": "/usr/bin:/bin",
            "JAX_PLATFORMS": "cpu",
            "BSMAP_TPU_DEV_BATCH": "2048", "BSMAP_TPU_CANDS_PER_READ": "16",
            "HOME": "/root"}
