@@ -351,8 +351,8 @@ def _fixed_schedule_impl(cfg: Cfg, qw, rw, d_kmer_tab, lens, budgets,
             jnp.zeros((B, NB), jnp.int32), zero, zero)
 
 
-def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
-                   qw0, rw0, lens, budgets, maxrank):
+def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, d_tag_off,
+                   rc_code, rc_n_code, qw0, rw0, lens, budgets, maxrank):
     B = qw0.shape[0]
     S, I, P, MS = cfg.S, cfg.I, cfg.P, cfg.maxseg
 
@@ -424,7 +424,8 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
             order = jnp.argsort(key_hi, axis=1,
                                 stable=True).astype(jnp.int32)
             start_arr = jnp.zeros((B, MS), jnp.int32)
-            return (start_arr, order, rows, jnp.zeros((B,), jnp.int32))
+            return (start_arr, order, rows, jnp.zeros((B,), jnp.int32),
+                    sarr)
         # reference cost includes the +2 CSR header slots (dbseq.cpp:381).
         # Sums are WRAPPING uint32 like the reference's bit32_t totals
         # (align.cpp:455,507).
@@ -496,7 +497,7 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
         cost_s = cost_n ^ jnp.uint32(0x80000000)    # order uint as int32
         key_hi = jnp.where(seg_mask, cost_s, BIGU)
         order = jnp.argsort(key_hi, axis=1, stable=True).astype(jnp.int32)
-        return start_arr, order, rows, s_off
+        return start_arr, order, rows, s_off, sarr
 
     # per-chain RRBS position shift: the RC chain probes a + (len % S)
     # (align.cpp:175-251 cseed_offset); 0 for WGBS and forward chains
@@ -520,7 +521,7 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
     slot_cs = jnp.tile(jnp.repeat(jnp.arange(nch, dtype=jnp.int32), I), MS)
     slot_phase = jnp.asarray(slot_phase_np)
 
-    def slot_desc(start_arr, order, rows_p, koff, is_rc):
+    def slot_desc(start_arr, order, rows_p, koff, is_rc, sarr_p):
         if "sa" in _KVAR:
             # static column pick + unrolled selects over the tiny maxseg
             # axis (see _KVAR "sa" note)
@@ -543,10 +544,20 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
         # (discarded for those reads) stays in-bounds
         fresh = (k >= 0) & (k <= (lens - S)[:, None])
         if cfg.rrbs:
-            # the RRBS tag filter wants the SEGMENT id (align.cpp:183-196)
+            # the probed (segment, strand) class (align.cpp:183-196): the
+            # index is TAG-PARTITIONED, so look up this class's sub-bucket
+            # directly instead of scanning + filtering the raw bucket
             want = jnp.where(is_rc, lens[:, None] // S - 1 - mode, mode)
-        else:
-            want = mode
+            sv = _taa(sarr_p, k_c)                          # (B, NB)
+            J2 = (d_tag_off.shape[0] - 1) // (3 ** cfg.S)
+            cls = want * 2 + (1 if is_rc else 0)
+            idx_t = jnp.clip(sv * J2 + cls, 0, d_tag_off.shape[0] - 2)
+            off_t = _g1(d_tag_off, idx_t)
+            cnt_t = _g1(d_tag_off, idx_t + 1) - off_t
+            ok_t = fresh & (want >= 0) & (want * 2 + 1 < J2)
+            z = jnp.zeros_like(off_t)
+            return (off_t, jnp.where(ok_t, cnt_t, 0), z, z, h, want)
+        want = mode
         # one consolidated row gather for all slot-table columns (separate
         # per-column gathers cost ~67 ms/dispatch at B=65536)
         if "cs" in _KVAR:
@@ -570,8 +581,8 @@ def _schedule_impl(cfg: Cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
         return (rs[..., 0], jnp.where(fresh, rs[..., cnt_col], 0),
                 rs[..., 2], rs[..., 3], h, want)
 
-    descs = [slot_desc(st, o, rp, koff, bool(is_rc))
-             for (st, o, rp, _), koff, is_rc in zip(
+    descs = [slot_desc(st, o, rp, koff, bool(is_rc), sp)
+             for (st, o, rp, _, sp), koff, is_rc in zip(
                  scheds, koffs,
                  [cfg.chains_mode == "r"] if nch == 1 else [False, True])]
     if nch == 2:
@@ -661,18 +672,18 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
 
     tag_ok = None
     if cfg.rrbs:
-        # RRBS entries are (tag, chr-local loc): accept only entries whose
-        # tag matches (segment id | rc-flag) for this slot (align.cpp:183)
+        # RRBS entries are (tag, chr-local loc), TAG-PARTITIONED: this
+        # slot's sub-bucket holds exactly its (segment, strand) class
+        # (the reference scans the raw bucket filtering on the tag,
+        # align.cpp:183 — same accepted sequence, no foreign entries)
         eidx = jnp.clip(g_off0 + e, 0, d_wlocs.shape[0] - 1)
         entry_loc = _g1(d_wlocs, eidx).astype(jnp.int32)
         tag = _g1(d_tags, eidx)
-        g_want = _g1(wantv, fid)
-        tag_ok = (tag >> 16) == (g_want | (chain << 8))
         chrp_t = (tag & 0xFFFF).astype(jnp.int32)
         c = chrp_t >> 1
         crick = (chrp_t & 1) == 1
         loc_local = entry_loc + g_h                     # chr-local int32
-        tag_ok = tag_ok & (loc_local >= 0)
+        tag_ok = loc_local >= 0
         g = (_g1(d_anchors, c)
              + jnp.clip(loc_local, 0, None).astype(jnp.uint32))
     else:
@@ -691,7 +702,18 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
     wbase = ((g >> 4).astype(jnp.int32)
              + jnp.where(crick, jnp.int32(W), 0))
     wbase = jnp.clip(wbase, 0, 2 * W - NW - 1)
-    if "sg" in _KVAR:
+    if "cso" in _KVAR:
+        # candidate-sort coalescing (r4 verdict item 1a): permute the
+        # candidates by genome word index so the NW+1 word gathers read
+        # near-sequential HBM addresses, then unsort the mismatch counts.
+        # One argsort + 2 permutations amortized over NW+1 gathers.
+        cso = jnp.argsort(wbase).astype(jnp.int32)
+        wbase_s = _g1(wbase, cso)
+        g_s = _g1(g, cso)
+        words = jnp.stack([_g1(d_catcat, wbase_s + k)
+                           for k in range(NW + 1)], axis=1)
+        z = g_s & 15
+    elif "sg" in _KVAR:
         # one sliced gather: each candidate pulls its NW+1 consecutive
         # words in a single gather op (contiguous slices are the gather
         # shape XLA tiles best) instead of NW+1 separate 1-D gathers
@@ -700,10 +722,11 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
         words = jax.lax.gather(
             d_catcat, wbase[:, None], dn, slice_sizes=(NW + 1,),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        z = g & 15
     else:
         words = jnp.stack([_g1(d_catcat, wbase + k)
                            for k in range(NW + 1)], axis=1)
-    z = g & 15
+        z = g & 15
     sl = (z * 2)[:, None]
     w_lo = words[:, :NW] << sl
     w_hi = words[:, 1:] >> (jnp.uint32(32) - sl)
@@ -711,12 +734,16 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
 
     # --- CountMismatch lanes (align.h:167-200) ------------------------------
     qrow = rid * nch + (chain if nch == 2 else 0)
+    if "cso" in _KVAR:
+        qrow = _g1(qrow, cso)
     q = _rowg(qw.reshape(B * nch, NW), qrow)
     r = _rowg(rw.reshape(B * nch, NW), qrow)
     xc = ((~sref) << jnp.uint32(1)) | sref | jnp.uint32(0x55555555)
     x = ((q & xc) ^ sref) & r
     lanes = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
     wmm = jax.lax.population_count(lanes).sum(axis=-1).astype(jnp.int32)
+    if "cso" in _KVAR:
+        wmm = jnp.zeros((CANDS,), jnp.int32).at[cso].set(wmm)
 
     # --- coordinate transform + bounds (align.cpp:271-291) ------------------
     # d_anchors is uint32 (global per-strand coords); chr-local values fit
@@ -786,10 +813,11 @@ def _verify_impl(cfg: Cfg, CANDS: int, d_catcat, d_anchors, d_sizes,
         corner_read = jnp.zeros((B,), bool).at[rid].max(
             eligible & (reg != my))
 
-    if cfg.rrbs and not cfg.pe:
+    if cfg.rrbs and not cfg.pe and "nofrag" not in _KVAR:
         # SE RRBS fragment filter (align.cpp:202-207): the hit must fall in
         # a digestion fragment of valid length.  NOTE hitset insertion (the
         # dedup above) happens BEFORE this filter in the reference.
+        # ("nofrag" is a TIMING-ONLY ablation switch — output is wrong.)
         # CCGG_seglen (dbseq.cpp:541-567): seg_start = the floor site (its
         # binary search never returns the last site), seg_end = the first
         # site at/after right0 whose end covers the read (else the last
@@ -1095,7 +1123,7 @@ def _unpack_inputs(packed):
 def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, d_kcnt,
                         rc_code, rc_n_code, d_catcat, d_anchors, d_sizes,
                         d_rcoff, d_wlocs, d_clocs, d_tags, d_sites,
-                        d_site_off, packed, bounds=None):
+                        d_site_off, d_tag_off, packed, bounds=None):
     """Single-dispatch chunk: schedule + verify fused.  Candidate capacity is
     fixed; reads whose candidates ran past it are detected from the returned
     ok/overflow bits and re-dispatched (or host-replayed when one read
@@ -1103,8 +1131,8 @@ def _align_fused_kernel(cfg: Cfg, CANDS: int, prof_a, d_kmer_tab, d_kcnt,
     qw0, rw0, lens, budgets, rand32, maxrank = _unpack_inputs(packed)
     (qw, rw, h, off0, off3, wcnt, cnt, wantv, s_off, c_off,
      ftot_rank) = _schedule_impl(
-        cfg, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code, qw0, rw0, lens,
-        budgets, maxrank)
+        cfg, prof_a, d_kmer_tab, d_kcnt, d_tag_off, rc_code, rc_n_code,
+        qw0, rw0, lens, budgets, maxrank)
     if cfg.probe:
         # totals-only pre-pass: stage 1 alone; column r = candidates a
         # maxrank=r dispatch would enumerate (the bin-packing input)
@@ -1159,19 +1187,45 @@ class DeviceEngine:
         counts = np.diff(index.offsets)
         one = np.zeros(1, dtype=np.uint32)      # keep gathers well-defined
         if param.RRBS_flag:
-            # RRBS CSR: (tag, chr-local loc) entries; one flat locs array
-            # plus the tag array; digestion sites as global coords for the
-            # fragment filter (dbseq.cpp:541-567)
+            # RRBS CSR, TAG-PARTITIONED: site-anchored seeds concentrate
+            # into few buckets (every j=0 seed starts at a digestion site),
+            # so scanning whole buckets and filtering by tag (the
+            # reference's loop, align.cpp:183-196) enumerates mostly
+            # foreign entries.  Entries are reordered by (seed, tag-class,
+            # original bucket position) — tag-class = 2*segment + rc — with
+            # a (3^S * J2 + 1) offset table, so each probe enumerates
+            # EXACTLY its own (segment, strand) entries; within a class the
+            # original bucket order is preserved, so discovery order (and
+            # the filtered sequence the reference would see) is unchanged.
             kmer_tab = np.zeros((tk, 4), dtype=np.int32)
             kmer_tab[:, 0] = index.offsets[:-1]
-            kmer_tab[:, 1] = counts
+            kmer_tab[:, 1] = counts          # RAW size: schedule cost parity
             self.d_kmer_tab = put(jnp.asarray(kmer_tab))
-            locs = index.locs if len(index.locs) else one
-            self.d_wlocs = put(jnp.asarray(locs))
+            J2 = 2 * param.max_seedseg_num
+            self._rrbs_j2 = J2
+            if len(index.locs):
+                tags_u = index.tags.astype(np.uint32)
+                cls = (((tags_u >> 16) & 0xFF) * 2
+                       + ((tags_u >> 24) & 1)).astype(np.int64)
+                bucket_id = np.repeat(np.arange(tk, dtype=np.int64),
+                                      counts)
+                order = np.lexsort(
+                    (np.arange(len(cls)), cls, bucket_id))
+                locs_t = index.locs[order]
+                tags_t = tags_u[order].astype(np.int64).astype(np.int32)
+                key2 = bucket_id[order] * J2 + cls[order]
+                tag_off = np.zeros(tk * J2 + 1, dtype=np.int32)
+                tag_off[1:] = np.cumsum(
+                    np.bincount(key2, minlength=tk * J2)).astype(np.int32)
+                self.d_wlocs = put(jnp.asarray(locs_t))
+                self.d_tags = put(jnp.asarray(tags_t))
+                self.d_tag_off = put(jnp.asarray(tag_off))
+            else:
+                self.d_wlocs = put(jnp.asarray(one))
+                self.d_tags = put(jnp.asarray(one.astype(np.int32)))
+                self.d_tag_off = put(jnp.asarray(
+                    np.zeros(tk * J2 + 1, dtype=np.int32)))
             self.d_clocs = put(jnp.asarray(one))
-            tags = (index.tags.astype(np.int64).astype(np.int32)
-                    if len(index.tags) else one.astype(np.int32))
-            self.d_tags = put(jnp.asarray(tags))
             site_off = np.zeros(genome.n_chr + 1, dtype=np.int32)
             np.cumsum([len(s) for s in genome.ccgg_sites], out=site_off[1:])
             sites_g = (np.concatenate(
@@ -1206,6 +1260,7 @@ class DeviceEngine:
             self.d_wlocs = put(jnp.asarray(wl if len(wl) else one))
             self.d_clocs = put(jnp.asarray(cl if len(cl) else one))
             self.d_tags = put(jnp.asarray(one.astype(np.int32)))
+            self.d_tag_off = put(jnp.asarray(one.astype(np.int32)))
             self.d_sites = put(jnp.asarray(one))
             self.d_site_off = put(jnp.asarray(
                 np.zeros(genome.n_chr + 1, dtype=np.int32)))
@@ -1277,12 +1332,21 @@ class DeviceEngine:
         remote compile once per process): a SMALL one for optimistic
         round-1 windows and a BIG one for exactly bin-packed re-dispatches.
         Kernel time is ~linear in capacity, so the big program amortizes
-        its cost over a full load of packed candidates."""
-        mults = sorted({CANDS_PER_READ, max(CANDS_BIG_PER_READ,
-                                            CANDS_PER_READ)})
-        self.cands_tiers = [m * b for m in mults]
-        self.CANDS = self.cands_tiers[0]
-        self.CANDS_BIG = self.cands_tiers[-1]
+        its cost over a full load of packed candidates.
+
+        RRBS gets ONE big tier: demand is structurally ~10-20 candidates
+        per read even tag-partitioned (site-anchored seeds share sequence
+        context), so a small round would overflow wholesale."""
+        if self.param.RRBS_flag:
+            cap = max(CANDS_BIG_PER_READ, CANDS_PER_READ) * b
+            self.cands_tiers = [cap]
+            self.CANDS = self.CANDS_BIG = cap
+        else:
+            mults = sorted({CANDS_PER_READ, max(CANDS_BIG_PER_READ,
+                                                CANDS_PER_READ)})
+            self.cands_tiers = [m * b for m in mults]
+            self.CANDS = self.cands_tiers[0]
+            self.CANDS_BIG = self.cands_tiers[-1]
         self.tier_start = 0            # kept for bench-report compatibility
         # probe mode (repeat-heavy genomes, self-tuned): round 1 becomes a
         # cheap stage-1-only totals pre-pass and ALL verify dispatches are
@@ -1490,7 +1554,7 @@ class DeviceEngine:
         return (self.prof_a, self.d_kmer_tab, self.d_kcnt, self.rc_code,
                 self.rc_n_code, self.d_catcat, self.d_anchors, self.d_sizes,
                 self.d_rcoff, self.d_wlocs, self.d_clocs, self.d_tags,
-                self.d_sites, self.d_site_off)
+                self.d_sites, self.d_site_off, self.d_tag_off)
 
     def _get_exec(self, cfg: Cfg, cap: int, width: int):
         """Compiled executable for (cfg, capacity, input row width); compiles

@@ -147,10 +147,14 @@ class PairDeviceEngine:
 
     def warmup_programs(self, nw: int = 7) -> None:
         """First-execute both mates' PE programs at every capacity so the
-        remote compiles overlap (see DeviceEngine.warmup_programs)."""
+        remote compiles overlap (see DeviceEngine.warmup_programs).
+        Idempotent: repeat calls are free."""
         se = self.se
         if type(se)._dispatch is not DeviceEngine._dispatch:
             return
+        if getattr(self, "_warmed", None) == nw:
+            return
+        self._warmed = nw
         width = 2 * nw + 4
         z = np.zeros((se.B, width), dtype=np.int32)
         z[:, width - 4] = min(100, 16 * nw)
@@ -194,6 +198,15 @@ class PairDeviceEngine:
 
         locA, wA, chA, rkA, cpA, vA = unpack(rows_a)
         locB, wB, chB, rkB, cpB, vB = unpack(rows_b)
+        # hits fill a dense 0-based-rank prefix of the K slots: crop the
+        # hit axes to this chunk's max fill (the K x K workspace and the
+        # sorted_rank compares are quadratic in it; typical fill is 1-2)
+        ka = max(1, int(vA.sum(axis=1).max(initial=0)))
+        kb = max(1, int(vB.sum(axis=1).max(initial=0)))
+        locA, wA, chA, rkA, cpA, vA = (x[:, :ka] for x in
+                                       (locA, wA, chA, rkA, cpA, vA))
+        locB, wB, chB, rkB, cpB, vB = (x[:, :kb] for x in
+                                       (locB, wB, chB, rkB, cpB, vB))
 
         aloc = locA[:, :, None].astype(np.int64)
         bloc = locB[:, None, :].astype(np.int64)
@@ -243,15 +256,15 @@ class PairDeviceEngine:
         raB = sorted_rank(locB, wB, chB, cpB, vB)
         key = ((((combo << 1) | pchain) << 6 | raA[:, :, None]) << 6) \
             | raB[:, None, :]
-        # payload-packed keys: sort (n, K*K) and take the myrand-j-th
-        kidx = np.arange(K * K, dtype=np.int64)
+        # payload-packed keys: sort (n, ka*kb) and take the myrand-j-th
+        kidx = np.arange(ka * kb, dtype=np.int64)
         keyp = np.where(F, (key.astype(np.int64) << 12) | kidx.reshape(
-            1, K, K), np.int64(1) << 60).reshape(n, K * K)
+            1, ka, kb), np.int64(1) << 60).reshape(n, ka * kb)
         keyp.sort(axis=1)
         j = (rand_a % np.maximum(cnt, 1).astype(np.uint32)).astype(np.int64)
         selp = np.take_along_axis(keyp, j[:, None], axis=1)[:, 0]
         sel_kl = (selp & 0xFFF).astype(np.int32)
-        sel_k, sel_l = sel_kl // K, sel_kl % K
+        sel_k, sel_l = sel_kl // kb, sel_kl % kb
 
         r = np.arange(n)
         return {
@@ -305,12 +318,21 @@ class PairDeviceEngine:
 
     # -- dispatch core ---------------------------------------------------------
 
-    def _align_core(self, rows_in_a, rows_in_b, cfg_a, cfg_b):
-        """Dispatch both mates' packed (n, 2*nw+4) input rows at full rank
-        (PairAlign enumerates every segment, pairs.cpp:163): optimistic
-        round 1, then ONE exactly bin-packed full-capacity round.  Returns
-        (rows_a, rows_b) full-width result rows; reads that could not be
-        enumerated within the big capacity carry the replay bit."""
+    def _align_join(self, rows_in_a, rows_in_b, cfg_a, cfg_b, la, lb,
+                    buds_a, buds_b, rand_a, rand_b, defer: bool = False):
+        """Two-phase dispatch + join over both mates' packed input rows.
+
+        Phase 1 enumerates RANK 0 ONLY (cheap, SE-bulk-round cost): the
+        reference's step-0 pairing sweeps exactly the hits its cheapest
+        segments discovered (pairs.cpp:163-172 breaks at the first step
+        with a pair), so a complete rank-0 enumeration fully determines
+        every i*==0 pair — the winning set, count, sweep order AND the
+        mates' hit lists as the reference's formatter sees them (RunAlign
+        stopped at step 0, so its lists hold rank-0 hits only).  Pairs
+        without a step-0 pair re-dispatch ONCE at full rank, exactly
+        bin-packed by the rank-0 round's full-rank totals.
+
+        Returns (rows_a, rows_b, join, ftot)."""
         se = self.se
         MS, K = self.MS, self.K
         n = rows_in_a.shape[0]
@@ -318,11 +340,14 @@ class PairDeviceEngine:
         rows_a = np.zeros((n, width), dtype=np.int32)
         rows_b = np.zeros((n, width), dtype=np.int32)
         if n == 0:
-            return rows_a, rows_b
-        done = np.zeros(n, dtype=bool)
+            out = (rows_a, rows_b, self._join(
+                rows_a, rows_b, la, lb, buds_a, buds_b, rand_a),
+                np.zeros(0, dtype=np.int64))
+            return (lambda: out) if defer else out
+        okp = np.zeros(n, dtype=bool)
         ftot = np.zeros(n, dtype=np.int64)
 
-        def collect_pair(sel, oa, ob):
+        def collect_pair(sel, oa, ob, into_ok):
             ra_ = np.asarray(oa)[: len(sel)]
             rb_ = np.asarray(ob)[: len(sel)]
             okb = (ra_[:, 2 * MS + X_OK] != 0) & \
@@ -332,11 +357,14 @@ class PairDeviceEngine:
                                    rb_[:, 2 * MS + X_FTOT])
             rows_a[sel[okb]] = ra_[okb]
             rows_b[sel[okb]] = rb_[okb]
-            done[sel[okb]] = True
+            into_ok[sel[okb]] = True
 
-        def dispatch_span(sel, cap):
-            oa = se._dispatch(cfg_a, se._pad_rows(rows_in_a, sel), cap)
-            ob = se._dispatch(cfg_b, se._pad_rows(rows_in_b, sel), cap)
+        def dispatch_span(sel, cap, rank):
+            ranks = np.full(n, rank, dtype=np.int32)
+            oa = se._dispatch(cfg_a, se._pad_rows(rows_in_a, sel, ranks),
+                              cap)
+            ob = se._dispatch(cfg_b, se._pad_rows(rows_in_b, sel, ranks),
+                              cap)
             for o in (oa, ob):
                 try:
                     o.copy_to_host_async()
@@ -344,45 +372,61 @@ class PairDeviceEngine:
                     pass
             return sel, oa, ob
 
-        # round 1: optimistic full windows at the small capacity
-        pend = [dispatch_span(np.arange(i, min(i + se.B, n),
-                                        dtype=np.int64), None)
-                for i in range(0, n, se.B)]
-        for sel, oa, ob in pend:
-            collect_pair(sel, oa, ob)
-        # round 2: exactly bin-packed by the returned candidate totals
-        cap_max = min(se.CANDS_BIG, (1 << 27) - 1)
-        rem = np.nonzero(~done)[0]
-        too_big = rem[ftot[rem] >= cap_max]
-        for k in too_big:
-            rows_a[k] = 0
-            rows_a[k, 2 * MS + X_REPLAY] = 1
-            done[k] = True
-        rem = rem[ftot[rem] < cap_max]
-        if len(rem):
-            d = np.maximum(ftot[rem], 1)
-            csum = np.cumsum(d)
-            spans = []
-            s = 0
-            base = 0
-            for k in range(len(rem)):
-                if k - s == se.B or csum[k] - base > se.CANDS_BIG:
-                    spans.append((s, k))
-                    s = k
-                    base = csum[k - 1]
-            spans.append((s, len(rem)))
-            pend = []
-            for a0, b0 in spans:
-                mass = int(csum[b0 - 1] - (csum[a0 - 1] if a0 else 0))
-                cap = se.CANDS if mass <= se.CANDS else se.CANDS_BIG
-                pend.append(dispatch_span(rem[a0: b0], cap))
-            for sel, oa, ob in pend:
-                collect_pair(sel, oa, ob)
-            for k in np.nonzero(~done)[0]:   # defensive
+        # --- phase 1: rank-0 windows at the small capacity (enqueue) --------
+        pend1 = [dispatch_span(np.arange(i, min(i + se.B, n),
+                                         dtype=np.int64), None, 0)
+                 for i in range(0, n, se.B)]
+
+        def finish():
+            for sel, oa, ob in pend1:
+                collect_pair(sel, oa, ob, okp)
+            join = self._join(rows_a, rows_b, la, lb, buds_a, buds_b,
+                              rand_a)
+            commit = okp & (join["paired"] == 1)   # i* == 0: exact
+
+            # --- phase 2: full rank for the rest, exactly bin-packed -------
+            rem = np.nonzero(~commit)[0]
+            cap_max = min(se.CANDS_BIG, (1 << 27) - 1)
+            too_big = rem[ftot[rem] >= cap_max]
+            for k in too_big:
                 rows_a[k] = 0
                 rows_a[k, 2 * MS + X_REPLAY] = 1
-                done[k] = True
-        return rows_a, rows_b
+                rows_b[k] = 0
+            rem = rem[ftot[rem] < cap_max]
+            if len(rem):
+                ok2 = np.zeros(n, dtype=bool)
+                d = np.maximum(ftot[rem], 1)
+                csum = np.cumsum(d)
+                spans = []
+                s = 0
+                base = 0
+                for k in range(len(rem)):
+                    if k - s == se.B or csum[k] - base > se.CANDS_BIG:
+                        spans.append((s, k))
+                        s = k
+                        base = csum[k - 1]
+                spans.append((s, len(rem)))
+                pend2 = []
+                for a0, b0 in spans:
+                    mass = int(csum[b0 - 1] - (csum[a0 - 1] if a0 else 0))
+                    cap = se.CANDS if mass <= se.CANDS else se.CANDS_BIG
+                    pend2.append(dispatch_span(rem[a0: b0], cap, MS - 1))
+                for sel, oa, ob in pend2:
+                    collect_pair(sel, oa, ob, ok2)
+                for k in rem[~ok2[rem]]:             # defensive
+                    rows_a[k] = 0
+                    rows_a[k, 2 * MS + X_REPLAY] = 1
+                    rows_b[k] = 0
+                join2 = self._join(rows_a[rem], rows_b[rem], la[rem],
+                                   lb[rem], buds_a[rem], buds_b[rem],
+                                   rand_a[rem])
+                for key in ("paired", "win_total", "cnt", "cap_replay"):
+                    join[key][rem] = join2[key]
+                for key in join["sel"]:
+                    join["sel"][key][rem] = join2["sel"][key]
+            return rows_a, rows_b, join, ftot
+
+        return finish if defer else finish()
 
     def _replay_flag(self, rows_a, rows_b, join, risk):
         """Pairs whose exact output needs the sequential host engine."""
@@ -391,12 +435,19 @@ class PairDeviceEngine:
         flag = ((rows_a[:, 2 * MS + X_REPLAY] != 0)
                 | (rows_b[:, 2 * MS + X_REPLAY] != 0)
                 | join["cap_replay"] | risk)
+        paired = join["paired"] > 0
+        if p.report_repeat_hits == 0:
+            # -r 0 multi-pair falls through to the unpaired fallback, whose
+            # hit lists the reference froze at step i* (RunAlign breaks) —
+            # our i*>0 rows hold the FULL enumeration, so those pairs
+            # replay; i*==0 pairs committed rank-0 rows and stay exact
+            flag = flag | (paired & (join["cnt"] > 1)
+                           & (join["paired"] > 1))
         if p.randseed == 0:
             # any pair whose output consumes a sequential rand_r draw:
             # multi-hit winning pair (pairs.cpp:235; -r 0 falls through
             # to unpaired where the same mates draw), or an unpaired
             # mate with >1 best-level hits (pairs.cpp:258,271)
-            paired = join["paired"] > 0
             multi_pair = paired & (join["cnt"] > 1)
             ma = ((rows_a[:, 2 * MS + X_FOUND] != 0)
                   & (rows_a[:, 2 * MS + X_SSUM] != 1))
@@ -448,10 +499,9 @@ class PairDeviceEngine:
                                      np.full(n, MS - 1, np.int32))
             cfg_a, cfg_b = self._cfg(1), self._cfg(2)
             risk = se._stale_risk(la, ba_) | se._stale_risk(lb, bb_)
-            rows_a, rows_b = self._align_core(rows_in_a, rows_in_b,
-                                              cfg_a, cfg_b)
-            join = self._join(rows_a, rows_b, la.astype(np.int64),
-                              lb.astype(np.int64), ba_, bb_, rand_a)
+            rows_a, rows_b, join, _ = self._align_join(
+                rows_in_a, rows_in_b, cfg_a, cfg_b, la.astype(np.int64),
+                lb.astype(np.int64), ba_, bb_, rand_a, rand_b)
             replay_flag = self._replay_flag(rows_a, rows_b, join, risk)
             usel_a = self._unpaired_sel(rows_a, rand_a)
             usel_b = self._unpaired_sel(rows_b, rand_b)
@@ -551,9 +601,13 @@ class PairDeviceEngine:
     # -- native block path ----------------------------------------------------
 
     def format_block_pair(self, blk_a, blk_b, fmt) -> bytes:
-        """Align + format one pair of ReadBlocks as SAM bytes through the
-        native pair formatter; replayed pairs are formatted exactly in
-        Python and spliced back in pair order."""
+        return self.align_block_pair(blk_a, blk_b)(fmt)
+
+    def align_block_pair(self, blk_a, blk_b):
+        """Encode one pair of ReadBlocks and ENQUEUE the phase-1 (rank-0)
+        dispatches; returns finish(fmt) -> SAM bytes.  The block pipeline
+        calls finish() for block N only after block N+1's phase 1 is on
+        the device, so collect/join/format overlap kernel time."""
         from .. import native
         p = self.param
         se = self.se
@@ -606,91 +660,104 @@ class PairDeviceEngine:
         cfg_a, cfg_b = self._cfg(1, nw), self._cfg(2, nw)
         risk = (se._stale_risk(la, buds_a) | se._stale_risk(lb, buds_b)) \
             if n else np.zeros(0, dtype=bool)
-        rows_a, rows_b = self._align_core(rows_in_a, rows_in_b, cfg_a, cfg_b)
-        join = self._join(rows_a, rows_b, la, lb, buds_a, buds_b, rand_a) \
-            if n else None
-        replay_flag = (self._replay_flag(rows_a, rows_b, join, risk)
-                       if n else np.zeros(0, dtype=bool))
+        fin = (self._align_join(rows_in_a, rows_in_b, cfg_a, cfg_b, la, lb,
+                                buds_a, buds_b, rand_a, rand_b, defer=True)
+               if n else None)
 
-        # --- exact host replays in pair order with MateState sync -----------
-        st_a, st_b = self.pair_host.state_a, self.pair_host.state_b
-        read_a = lambda t: blk_a.read_obj(int(live_pos[t]))
-        read_b = lambda t: blk_b.read_obj(int(live_pos[t]))
-        mode_a = "b" if p.chains else "f"
-        mode_b = "b" if p.chains else "r"
-
-        def sync_to(cursor: int, t: int) -> int:
-            se._sync_state_span(read_a, cursor, t,
-                                rows_a[:, 2 * MS + X_SOFF],
-                                rows_a[:, 2 * MS + X_COFF], la,
-                                replay_flag, mode_a, state=st_a)
-            se._sync_state_span(read_b, cursor, t,
-                                rows_b[:, 2 * MS + X_SOFF],
-                                rows_b[:, 2 * MS + X_COFF], lb,
-                                replay_flag, mode_b, state=st_b)
-            return t
-
-        status = np.full(n_all, 2, dtype=np.int32)
-        status[~live] = 0
-        rflag_pos = live_pos[replay_flag] if n else live_pos[:0]
-        status[rflag_pos] = 0
-        py_parts: dict[int, str] = {}
-        lcum = np.concatenate([[0], np.cumsum(live)])
-        cursor = 0
-        for i in np.nonzero(status == 0)[0]:
-            i = int(i)
-            t = int(lcum[i])          # live row of this pair (if live)
-            if live[i]:
-                if risk[t]:
-                    cursor = sync_to(cursor, t) + 1
+        def finish(fmt) -> bytes:
+            if n:
+                rows_a, rows_b, join, _ = fin()
+                replay_flag = self._replay_flag(rows_a, rows_b, join, risk)
             else:
-                cursor = sync_to(cursor, t)
-            ra, rb = blk_a.read_obj(i), blk_b.read_obj(i)
-            pres = self.pair_host.align_pair(ra, rb)
-            self.n_replayed += 1
-            fell = 1
-            text = ""
-            if pres.paired:
-                ptext, fell = fmt.string_align_pair(ra, rb, pres)
-                text += ptext
-            if fell == 1 or not pres.paired:
-                text += fmt.string_align_unpair(
-                    ra, rb, pres.filtered_a, pres.filtered_b, pres)
-            py_parts[i] = text
-        if n:
-            sync_to(cursor, n)
+                rows_a = rows_b = np.zeros(
+                    (0, 2 * self.MS + N_EXTRAS + 2 * self.K),
+                    dtype=np.int32)
+                join = None
+                replay_flag = np.zeros(0, dtype=bool)
 
-        # --- per-pair join rows for the native formatter ---------------------
-        prow = np.zeros((n_all, 22), dtype=np.int32)
-        if n:
-            usel_a = self._unpaired_sel(rows_a, rand_a)
-            usel_b = self._unpaired_sel(rows_b, rand_b)
-            ex = 2 * MS
-            s = join["sel"]
-            cols = np.stack([
-                join["paired"], join["cnt"], s["chain"], s["na"], s["nb"],
-                s["insert"], s["a_chr"], s["a_loc"], s["b_chr"], s["b_loc"],
-                rows_a[:, ex + X_FOUND], rows_a[:, ex + X_II],
-                rows_a[:, ex + X_SSUM], usel_a[0], usel_a[1], usel_a[2],
-                rows_b[:, ex + X_FOUND], rows_b[:, ex + X_II],
-                rows_b[:, ex + X_SSUM], usel_b[0], usel_b[1], usel_b[2],
-            ], axis=1).astype(np.int32)
-            prow[live_pos] = cols
+            # --- exact host replays in pair order with MateState sync -------
+            st_a, st_b = self.pair_host.state_a, self.pair_host.state_b
+            read_a = lambda t: blk_a.read_obj(int(live_pos[t]))
+            read_b = lambda t: blk_b.read_obj(int(live_pos[t]))
+            mode_a = "b" if p.chains else "f"
+            mode_b = "b" if p.chains else "r"
 
-        out, line_off, (npair, na_, nb_) = native.format_pair_block(
-            lib, blk_a.buf, blk_a.rec, blk_b.buf, blk_b.rec, status, prow,
-            se._chrname_buf, se._chrname_off, REV_CHAR, bool(p.out_unmap),
-            p.report_repeat_hits, blk_a.synth_qual, blk_b.synth_qual)
-        fmt.n_aligned_pairs += npair
-        fmt.n_aligned_a += na_
-        fmt.n_aligned_b += nb_
-        if not py_parts:
-            return out
-        pieces, prev = [], 0
-        for i in sorted(py_parts):
-            cut = int(line_off[i])
-            pieces.append(out[prev:cut])
-            pieces.append(py_parts[i].encode("latin1"))
-            prev = cut
-        pieces.append(out[prev:])
-        return b"".join(pieces)
+            def sync_to(cursor: int, t: int) -> int:
+                se._sync_state_span(read_a, cursor, t,
+                                    rows_a[:, 2 * MS + X_SOFF],
+                                    rows_a[:, 2 * MS + X_COFF], la,
+                                    replay_flag, mode_a, state=st_a)
+                se._sync_state_span(read_b, cursor, t,
+                                    rows_b[:, 2 * MS + X_SOFF],
+                                    rows_b[:, 2 * MS + X_COFF], lb,
+                                    replay_flag, mode_b, state=st_b)
+                return t
+
+            status = np.full(n_all, 2, dtype=np.int32)
+            status[~live] = 0
+            rflag_pos = live_pos[replay_flag] if n else live_pos[:0]
+            status[rflag_pos] = 0
+            py_parts: dict[int, str] = {}
+            lcum = np.concatenate([[0], np.cumsum(live)])
+            cursor = 0
+            for i in np.nonzero(status == 0)[0]:
+                i = int(i)
+                t = int(lcum[i])          # live row of this pair (if live)
+                if live[i]:
+                    if risk[t]:
+                        cursor = sync_to(cursor, t) + 1
+                else:
+                    cursor = sync_to(cursor, t)
+                ra, rb = blk_a.read_obj(i), blk_b.read_obj(i)
+                pres = self.pair_host.align_pair(ra, rb)
+                self.n_replayed += 1
+                fell = 1
+                text = ""
+                if pres.paired:
+                    ptext, fell = fmt.string_align_pair(ra, rb, pres)
+                    text += ptext
+                if fell == 1 or not pres.paired:
+                    text += fmt.string_align_unpair(
+                        ra, rb, pres.filtered_a, pres.filtered_b, pres)
+                py_parts[i] = text
+            if n:
+                sync_to(cursor, n)
+
+            # --- per-pair join rows for the native formatter -----------------
+            prow = np.zeros((n_all, 22), dtype=np.int32)
+            if n:
+                usel_a = self._unpaired_sel(rows_a, rand_a)
+                usel_b = self._unpaired_sel(rows_b, rand_b)
+                ex = 2 * MS
+                s = join["sel"]
+                cols = np.stack([
+                    join["paired"], join["cnt"], s["chain"], s["na"],
+                    s["nb"], s["insert"], s["a_chr"], s["a_loc"],
+                    s["b_chr"], s["b_loc"],
+                    rows_a[:, ex + X_FOUND], rows_a[:, ex + X_II],
+                    rows_a[:, ex + X_SSUM], usel_a[0], usel_a[1], usel_a[2],
+                    rows_b[:, ex + X_FOUND], rows_b[:, ex + X_II],
+                    rows_b[:, ex + X_SSUM], usel_b[0], usel_b[1], usel_b[2],
+                ], axis=1).astype(np.int32)
+                prow[live_pos] = cols
+
+            out, line_off, (npair, na_, nb_) = native.format_pair_block(
+                lib, blk_a.buf, blk_a.rec, blk_b.buf, blk_b.rec, status,
+                prow, se._chrname_buf, se._chrname_off, REV_CHAR,
+                bool(p.out_unmap), p.report_repeat_hits, blk_a.synth_qual,
+                blk_b.synth_qual)
+            fmt.n_aligned_pairs += npair
+            fmt.n_aligned_a += na_
+            fmt.n_aligned_b += nb_
+            if not py_parts:
+                return out
+            pieces, prev = [], 0
+            for i in sorted(py_parts):
+                cut = int(line_off[i])
+                pieces.append(out[prev:cut])
+                pieces.append(py_parts[i].encode("latin1"))
+                prev = cut
+            pieces.append(out[prev:])
+            return b"".join(pieces)
+
+        return finish

@@ -97,7 +97,10 @@ def run_pair_end_blocks(o, genome, engine, fmt, header: bool = True) -> int:
         engine.warmup_programs()
     sa = BlockReadStream(o.query_a, p, readset=1, lib=lib)
     sb = BlockReadStream(o.query_b, p, readset=2, lib=lib)
-    blk_win = int(os.environ.get("BSMAP_TPU_BLOCK_WINDOWS", 8))
+    # smaller blocks than SE: the deferred-finish overlap (phase 2 + join +
+    # format of block N under block N+1's phase 1) needs several blocks in
+    # flight to engage
+    blk_win = int(os.environ.get("BSMAP_TPU_PE_BLOCK_WINDOWS", 2))
     blk_n = blk_win * engine.se.B
     q_in: "queue.Queue" = queue.Queue(maxsize=2)
     q_out: "queue.Queue" = queue.Queue(maxsize=4)
@@ -127,14 +130,28 @@ def run_pair_end_blocks(o, genome, engine, fmt, header: bool = True) -> int:
     t_wr.start()
     timer = StepTimer()
     total = 0
-    try:
+    prev = None            # (finish, n): block N-1, finished only after
+    try:                   # block N's phase 1 is on the device
         while True:
             item = q_in.get()
             if item is None:
                 break
             ba, bb = item
-            q_out.put(engine.format_block_pair(ba, bb, fmt))
-            total += len(ba)
+            cur = (engine.align_block_pair(ba, bb)
+                   if hasattr(engine, "align_block_pair")
+                   else None)
+            if prev is not None:
+                q_out.put(prev[0](fmt))
+                total += prev[1]
+                print(f"{total} read pairs finished. "
+                      f"{timer.total():.1f} secs passed")
+            prev = (cur, len(ba)) if cur is not None else None
+            if cur is None:          # non-deferring engine: inline
+                q_out.put(engine.format_block_pair(ba, bb, fmt))
+                total += len(ba)
+        if prev is not None:
+            q_out.put(prev[0](fmt))
+            total += prev[1]
             print(f"{total} read pairs finished. "
                   f"{timer.total():.1f} secs passed")
     finally:

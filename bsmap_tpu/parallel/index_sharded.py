@@ -117,28 +117,28 @@ def build_region_shards(genome: PackedGenome, index: SeedIndex, ndev: int):
 def _index_sharded_call(cfg: Cfg, cands: int, mesh: Mesh, axis: str,
                         prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
                         d_catcat, d_anchors, d_sizes, d_rcoff, d_wlocs,
-                        d_clocs, d_tags, d_sites, d_site_off, packed,
-                        bounds):
+                        d_clocs, d_tags, d_sites, d_site_off, d_tag_off,
+                        packed, bounds):
     """shard_map over the index-region axis: reads replicated, index
     sharded; the fused kernel's collectives (cfg.shard_axis) produce
     device-invariant full result rows."""
 
     def step(prof_a, kt, kcnt, rc_code, rc_n_code, catcat, anchors, sizes,
-             rcoff, wl, cl, tags, sites, soff, pk, bnds):
+             rcoff, wl, cl, tags, sites, soff, toff, pk, bnds):
         out = _align_fused_kernel(
             cfg, cands, prof_a, kt[0], kcnt, rc_code, rc_n_code, catcat,
-            anchors, sizes, rcoff, wl[0], cl[0], tags, sites, soff, pk,
-            bounds=bnds)
+            anchors, sizes, rcoff, wl[0], cl[0], tags, sites, soff, toff,
+            pk, bounds=bnds)
         return out[None]
 
     rep, shd = P(), P(axis)
     fn = shard_map(step, mesh=mesh,
                    in_specs=(rep, shd, rep, rep, rep, rep, rep, rep, rep,
-                             shd, shd, rep, rep, rep, rep, rep),
+                             shd, shd, rep, rep, rep, rep, rep, rep),
                    out_specs=shd, check_rep=False)
     out = fn(prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code, d_catcat,
              d_anchors, d_sizes, d_rcoff, d_wlocs, d_clocs, d_tags,
-             d_sites, d_site_off, packed, bounds)
+             d_sites, d_site_off, d_tag_off, packed, bounds)
     return out[0]        # rows are device-invariant after the merges
 
 
@@ -180,8 +180,8 @@ class IndexShardedEngine(DeviceEngine):
         self.d_clocs = jax.device_put(jnp.asarray(cl_s), shd)
         self.d_bounds = jax.device_put(jnp.asarray(bounds), rep)
         for name in ("d_catcat", "d_anchors", "d_sizes", "d_rcoff",
-                     "d_tags", "d_sites", "d_site_off", "prof_a",
-                     "rc_code", "rc_n_code", "d_kcnt"):
+                     "d_tags", "d_sites", "d_site_off", "d_tag_off",
+                     "prof_a", "rc_code", "rc_n_code", "d_kcnt"):
             setattr(self, name, jax.device_put(
                 np.asarray(getattr(self, name)), rep))
         self._rep = rep
@@ -201,5 +201,5 @@ class IndexShardedEngine(DeviceEngine):
             self.axis, self.prof_a, self.d_kmer_tab, self.d_kcnt,
             self.rc_code, self.rc_n_code, self.d_catcat, self.d_anchors,
             self.d_sizes, self.d_rcoff, self.d_wlocs, self.d_clocs,
-            self.d_tags, self.d_sites, self.d_site_off, placed,
-            self.d_bounds)
+            self.d_tags, self.d_sites, self.d_site_off, self.d_tag_off,
+            placed, self.d_bounds)

@@ -31,17 +31,17 @@ from ..reference import PackedGenome
 def _sharded_fused(cfg: Cfg, cands_loc: int, mesh: Mesh, axis: str,
                    prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code, d_catcat,
                    d_anchors, d_sizes, d_rcoff, d_wlocs, d_clocs,
-                   d_tags, d_sites, d_site_off, packed):
+                   d_tags, d_sites, d_site_off, d_tag_off, packed):
     """shard_map over the read axis: every device aligns its stripe against
     the replicated index; one psum merges the aligned-read counters."""
 
     def step(prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code, d_catcat,
              d_anchors, d_sizes, d_rcoff, d_wlocs, d_clocs, d_tags,
-             d_sites, d_site_off, packed):
+             d_sites, d_site_off, d_tag_off, packed):
         out = _align_fused_kernel(
             cfg, cands_loc, prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code,
             d_catcat, d_anchors, d_sizes, d_rcoff, d_wlocs, d_clocs,
-            d_tags, d_sites, d_site_off, packed)
+            d_tags, d_sites, d_site_off, d_tag_off, packed)
         # cross-device aggregate: total found reads this chunk (the
         # collective the phase-B sharded-index merge will generalize)
         found = (out[:, 1] & 1) if cfg.lean \
@@ -52,11 +52,11 @@ def _sharded_fused(cfg: Cfg, cands_loc: int, mesh: Mesh, axis: str,
     rep = P()
     shd = P(axis)
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(rep,) * 14 + (shd,),
+                   in_specs=(rep,) * 15 + (shd,),
                    out_specs=(shd, P(axis)))
     return fn(prof_a, d_kmer_tab, d_kcnt, rc_code, rc_n_code, d_catcat,
               d_anchors, d_sizes, d_rcoff, d_wlocs, d_clocs, d_tags,
-              d_sites, d_site_off, packed)
+              d_sites, d_site_off, d_tag_off, packed)
 
 
 class ShardedDeviceEngine(DeviceEngine):
@@ -94,8 +94,8 @@ class ShardedDeviceEngine(DeviceEngine):
         # replicate the genome + index over every device in the mesh
         for name in ("d_catcat", "d_anchors", "d_sizes", "d_rcoff",
                      "d_wlocs", "d_clocs", "d_tags", "d_sites", "d_site_off",
-                     "d_kmer_tab", "d_kcnt", "prof_a", "rc_code",
-                     "rc_n_code"):
+                     "d_tag_off", "d_kmer_tab", "d_kcnt", "prof_a",
+                     "rc_code", "rc_n_code"):
             setattr(self, name, jax.device_put(getattr(self, name), rep))
         self._shd = NamedSharding(self.mesh, P(self.axis))
         self.last_n_aligned = 0
@@ -109,7 +109,7 @@ class ShardedDeviceEngine(DeviceEngine):
             self.d_kmer_tab, self.d_kcnt, self.rc_code, self.rc_n_code,
             self.d_catcat, self.d_anchors, self.d_sizes, self.d_rcoff,
             self.d_wlocs, self.d_clocs, self.d_tags, self.d_sites,
-            self.d_site_off, placed)
+            self.d_site_off, self.d_tag_off, placed)
         self.last_n_aligned = n_aligned
         return out
 
