@@ -22,7 +22,7 @@ class ReadBlock:
     """One parsed block: buffer + per-read (name/seq/qual) offset table."""
 
     __slots__ = ("buf", "rec", "start_index", "readset", "is_fasta",
-                 "synth_qual")
+                 "synth_qual", "enc")
 
     def __init__(self, buf: bytes, rec: np.ndarray, start_index: int,
                  readset: int, is_fasta: bool, synth_qual: int):
@@ -32,6 +32,7 @@ class ReadBlock:
         self.readset = readset
         self.is_fasta = is_fasta
         self.synth_qual = synth_qual
+        self.enc = None      # (nw, rows, info) cache: DeviceEngine.encode_block
 
     def __len__(self) -> int:
         return len(self.rec)

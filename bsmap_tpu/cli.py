@@ -489,6 +489,11 @@ def run_single_end_blocks(o: Options, engine, fmt, genome, timer,
     def producer():
         while True:
             blk = stream.next_block(blk_n)
+            if blk is not None and hasattr(engine, "encode_block"):
+                # native filter+encode here (GIL released): overlaps the
+                # previous block's device time instead of serializing
+                # between blocks in the align thread
+                engine.encode_block(blk)
             q_in.put(blk)
             if blk is None:
                 break

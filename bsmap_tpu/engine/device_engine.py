@@ -213,14 +213,17 @@ def _satadd_scan(x):
 # stage 1: read-axis pack + seed schedule
 # ---------------------------------------------------------------------------
 
-def _seed_array_w(qw, S, P):
-    """Base-3 collapsed seed value at every read offset (align.cpp:97-105),
-    computed from the 2-bit packed words: vectorized funnel-shift windows
-    (one fancy-index per operand instead of P scalar slices), T(11)->C(01)
-    lane collapse, then base-3 accumulation of the top S lanes."""
+def _seed_array_w(qw, S, P, pos=None):
+    """Base-3 collapsed seed value at every read offset (align.cpp:97-105)
+    — or only at `pos` (the fixed path probes NB static offsets; computing
+    all P costs ~5x the VPU/HBM work) — computed from the 2-bit packed
+    words: vectorized funnel-shift windows (one fancy-index per operand
+    instead of P scalar slices), T(11)->C(01) lane collapse, then base-3
+    accumulation of the top S lanes."""
     B, F = qw.shape
     qwp = jnp.concatenate([qw, jnp.zeros((B, 1), jnp.uint32)], axis=1)
-    pos = np.arange(P)
+    if pos is None:
+        pos = np.arange(P)
     karr = jnp.asarray(pos >> 4, dtype=jnp.int32)
     zz = jnp.asarray(((pos & 15) * 2), dtype=jnp.uint32)[None, :]
     a = qwp[:, karr]                                        # (B, P)
@@ -229,7 +232,7 @@ def _seed_array_w(qw, S, P):
     w = jnp.where(zz == 0, a, (a << zz) | bs)
     t = w & (w >> jnp.uint32(1)) & jnp.uint32(0x55555555)   # lanes == 11
     cw = w ^ (t << jnp.uint32(1))                           # T -> C (01)
-    acc = jnp.zeros((B, P), dtype=jnp.int32)
+    acc = jnp.zeros((B, len(pos)), dtype=jnp.int32)
     for j in range(S):
         acc = acc * 3 + ((cw >> jnp.uint32(2 * (15 - j)))
                          & jnp.uint32(3)).astype(jnp.int32)
@@ -314,16 +317,13 @@ def _fixed_schedule_impl(cfg: Cfg, qw, rw, d_kmer_tab, lens, budgets,
                      for n in range(MS)], dtype=np.int32)
     k_nat = np.stack([a_np[n, i] - i for n in range(MS)
                       for _c in range(nch) for i in range(I)])
-    P = int(k_nat.max()) + 1
-    sarr_by_chain = [_seed_array_w(qw[:, c], S, P) for c in range(nch)]
+    vals = [_seed_array_w(qw[:, c], S, 0, pos=k_nat) for c in range(nch)]
     if nch == 2:
         is_c = np.array([c for _n in range(MS) for c in range(nch)
                          for _i in range(I)], dtype=bool)
-        sv = jnp.where(jnp.asarray(is_c)[None, :],
-                       sarr_by_chain[1][:, k_nat],
-                       sarr_by_chain[0][:, k_nat])
+        sv = jnp.where(jnp.asarray(is_c)[None, :], vals[1], vals[0])
     else:
-        sv = sarr_by_chain[0][:, k_nat]                     # (B, NB)
+        sv = vals[0]                                        # (B, NB)
     rows = _rowg(d_kmer_tab, sv)                            # (B, NB, ncol)
     ncol = rows.shape[-1]
     cnt_col = 4 if ncol > 4 else 1
@@ -1973,20 +1973,16 @@ class DeviceEngine:
         from .. import native
         return native.get_lib() is not None
 
-    def align_block(self, block):
-        """Align one ReadBlock.  Returns (live_pos, finish, buds_all):
-        round 1 is dispatched AND collected here, round 2 is dispatched but
-        only collected by finish() — the block pipeline calls finish() from
-        the writer thread, overlapping round-2 latency and the exact host
-        replays with the next block's round 1.  finish() -> (rows, replays)
-        where row t is block read live_pos[t] in the packed 3-int32 lean
-        layout (BIT_*) and replays maps row -> exact SEResult; buds_all is
-        each block read's post-trim mismatch budget (BSP histogram width)."""
+    def encode_block(self, block):
+        """Native filter + encode for one ReadBlock; runs in the
+        parse-ahead thread (the native calls release the GIL, so it
+        overlaps the previous block's device time).  Caches and returns
+        (nw, rows, info) on the block."""
+        if block.enc is not None:
+            return block.enc
         from .. import native
         p = self.param
         lib = native.get_lib()
-        n_all = len(block)
-        buds_all = np.zeros(n_all, dtype=np.int32)
         info = None
         if p.adapters or p.qual_threshold > 0:
             # native FilterReads: trims rec in place; the -z SAM rescale
@@ -2011,6 +2007,22 @@ class DeviceEngine:
         nw = 7 if min(max_len, p.max_readlen) <= 112 else FIXELEMENT
         rows = native.encode_block_words(
             lib, block.buf, block.rec, p.alphabet, REG_ALPHABET, nw)
+        block.enc = (nw, rows, info)
+        return block.enc
+
+    def align_block(self, block):
+        """Align one ReadBlock.  Returns (live_pos, finish, buds_all):
+        round 1 is dispatched AND collected here, round 2 is dispatched but
+        only collected by finish() — the block pipeline calls finish() from
+        the writer thread, overlapping round-2 latency and the exact host
+        replays with the next block's round 1.  finish() -> (rows, replays)
+        where row t is block read live_pos[t] in the packed 3-int32 lean
+        layout (BIT_*) and replays maps row -> exact SEResult; buds_all is
+        each block read's post-trim mismatch budget (BSP histogram width)."""
+        p = self.param
+        n_all = len(block)
+        buds_all = np.zeros(n_all, dtype=np.int32)
+        nw, rows, info = self.encode_block(block)
         lens = rows[:, 2 * nw]
         if info is not None:
             live = info[:, 0] == 0

@@ -603,6 +603,30 @@ class PairDeviceEngine:
     def format_block_pair(self, blk_a, blk_b, fmt) -> bytes:
         return self.align_block_pair(blk_a, blk_b)(fmt)
 
+    def encode_block_pair(self, blk_a, blk_b):
+        """Native name-fix + encode for one block pair; runs in the
+        parse-ahead thread (native calls release the GIL).  Caches
+        (nw, rows_a, rows_b) on blk_a."""
+        if blk_a.enc is not None:
+            return blk_a.enc
+        from .. import native
+        p = self.param
+        lib = native.get_lib()
+        bad = native.fix_pair_names(lib, blk_a.buf, blk_a.rec,
+                                    blk_b.buf, blk_b.rec)
+        if bad >= 0:
+            raise ValueError("Paired reads name not match:\n"
+                             f"{blk_a.name(bad)}\n{blk_b.name(bad)}")
+        max_len = max(int(blk_a.rec[:, 3].max()),
+                      int(blk_b.rec[:, 3].max())) if len(blk_a) else 0
+        nw = 7 if min(max_len, p.max_readlen) <= 112 else FIXELEMENT
+        rows_a = native.encode_block_words(
+            lib, blk_a.buf, blk_a.rec, p.alphabet, REG_ALPHABET, nw)
+        rows_b = native.encode_block_words(
+            lib, blk_b.buf, blk_b.rec, p.alphabet, REG_ALPHABET, nw)
+        blk_a.enc = (nw, rows_a, rows_b)
+        return blk_a.enc
+
     def align_block_pair(self, blk_a, blk_b):
         """Encode one pair of ReadBlocks and ENQUEUE the phase-1 (rank-0)
         dispatches; returns finish(fmt) -> SAM bytes.  The block pipeline
@@ -616,18 +640,7 @@ class PairDeviceEngine:
         n_all = len(blk_a)
         if len(blk_b) != n_all:
             raise ValueError("PE block length mismatch")
-        bad = native.fix_pair_names(lib, blk_a.buf, blk_a.rec,
-                                    blk_b.buf, blk_b.rec)
-        if bad >= 0:
-            raise ValueError("Paired reads name not match:\n"
-                             f"{blk_a.name(bad)}\n{blk_b.name(bad)}")
-        max_len = max(int(blk_a.rec[:, 3].max()),
-                      int(blk_b.rec[:, 3].max())) if n_all else 0
-        nw = 7 if min(max_len, p.max_readlen) <= 112 else FIXELEMENT
-        rows_in_a0 = native.encode_block_words(
-            lib, blk_a.buf, blk_a.rec, p.alphabet, REG_ALPHABET, nw)
-        rows_in_b0 = native.encode_block_words(
-            lib, blk_b.buf, blk_b.rec, p.alphabet, REG_ALPHABET, nw)
+        nw, rows_in_a0, rows_in_b0 = self.encode_block_pair(blk_a, blk_b)
         ok_a = ((rows_in_a0[:, 2 * nw] >= p.min_read_size)
                 & (rows_in_a0[:, 2 * nw + 3] <= p.max_ns))
         ok_b = ((rows_in_b0[:, 2 * nw] >= p.min_read_size)

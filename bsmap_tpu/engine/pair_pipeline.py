@@ -112,6 +112,8 @@ def run_pair_end_blocks(o, genome, engine, fmt, header: bool = True) -> int:
             if ba is None or bb is None or len(ba) != len(bb):
                 q_in.put(None)
                 break
+            if hasattr(engine, "encode_block_pair"):
+                engine.encode_block_pair(ba, bb)   # GIL-releasing natives
             q_in.put((ba, bb))
 
     def writer():
