@@ -296,6 +296,7 @@ def run_local_multiprocess(o: Options, argv: list[str]) -> int:
     reference's only restart primitive), so a crashed worker is simply
     re-run once before giving up."""
     import subprocess
+    import time as _time
 
     n = o.param.num_procs
 
@@ -304,16 +305,45 @@ def run_local_multiprocess(o: Options, argv: list[str]) -> int:
             "--nprocs", str(n), "--proc-id", str(k)]
         return subprocess.Popen(cmd)
 
+    # monitor + PROMPT respawn: worker 0 blocks in merge_shards waiting for
+    # every shard's .done sentinel, so a crashed worker must be retried as
+    # soon as it dies (the old wait-then-retry left 0 stuck until the merge
+    # timeout); shard ranges are idempotent, one retry each
     procs = {k: spawn(k) for k in range(n)}
-    rc = {k: q.wait() for k, q in procs.items()}
-    failed = [k for k, v in rc.items() if v]
-    if failed:
-        print(f"retrying failed worker shards {failed} (idempotent ranges)")
-        retry = {k: spawn(k) for k in failed}
-        rc2 = {k: q.wait() for k, q in retry.items()}
-        if any(rc2.values()):
-            sys.exit(f"worker process failed after retry: {rc2}")
+    retried: set[int] = set()
+    rc: dict[int, int] = {}
+    while len(rc) < n:
+        for k in list(procs):
+            if k in rc:
+                continue
+            r = procs[k].poll()
+            if r is None:
+                continue
+            if r != 0 and k not in retried:
+                print(f"retrying failed worker shard {k} "
+                      "(idempotent range)")
+                retried.add(k)
+                procs[k] = spawn(k)
+            else:
+                rc[k] = r
+        _time.sleep(0.2)
+    if any(rc.values()):
+        _cleanup_shards(o, n)
+        sys.exit(f"worker process failed after retry: {rc}")
     return 0
+
+
+def _cleanup_shards(o: Options, n: int) -> None:
+    """Remove partial shard litter after a failed multi-process run."""
+    for base in (o.out_file, o.out_unpair):
+        if not base:
+            continue
+        for k in range(n):
+            for suf in (f".shard{k}", f".shard{k}.done", f".shard{k}.tmp"):
+                try:
+                    os.remove(base + suf)
+                except OSError:
+                    pass
 
 
 def run_multihost_se(o: Options, genome, index) -> int:
@@ -332,7 +362,10 @@ def run_multihost_se(o: Options, genome, index) -> int:
     if s > 1:
         dist.reconstruct_state(engine, o.query_a, p, s)
     p.read_start, p.read_end = s, e
-    o.out_file = final_out + f".shard{o.proc_id}"
+    # write through a .tmp + atomic rename: a shard that dies midway never
+    # looks complete to the merger (failure/elastic hardening, SURVEY.md §5)
+    shard_path = final_out + f".shard{o.proc_id}"
+    o.out_file = shard_path + ".tmp"
     fmt = SamFormatter(genome, p, RandR(1))
     timer = StepTimer()
     from .readio import detect_format
@@ -343,7 +376,9 @@ def run_multihost_se(o: Options, genome, index) -> int:
     else:
         total_n = run_single_end_reads(o, engine, fmt, genome, timer,
                                        header=False)
-    open(o.out_file + ".done", "w").close()
+    os.replace(o.out_file, shard_path)
+    o.out_file = shard_path
+    open(shard_path + ".done", "w").close()
     print(f"shard {o.proc_id}: {total_n} reads, "
           f"{fmt.n_aligned} aligned")
     if o.proc_id == 0:
@@ -383,18 +418,23 @@ def run_multihost_pair(o: Options, genome, index) -> int:
         sys.exit("failed to open output file for unpaired hits "
                  "(check -2 option)")
     fmt = PairFormatter(genome, p, RandR(1))
-    o.out_file = f"{final_out}.shard{o.proc_id}"
+    shard_path = f"{final_out}.shard{o.proc_id}"
+    o.out_file = shard_path + ".tmp"
+    up_path = ""
     if final_unpair:
-        o.out_unpair = f"{final_unpair}.shard{o.proc_id}"
+        up_path = f"{final_unpair}.shard{o.proc_id}"
+        o.out_unpair = up_path + ".tmp"
     if (getattr(engine, "supports_pair_blocks", lambda: False)()
             and detect_format(o.query_a) < 2
             and detect_format(o.query_b) < 2):
         total_n = run_pair_end_blocks(o, genome, engine, fmt, header=False)
     else:
         total_n = run_pair_end_reads(o, genome, engine, fmt, header=False)
-    open(f"{final_out}.shard{o.proc_id}.done", "w").close()
+    os.replace(o.out_file, shard_path)
+    open(shard_path + ".done", "w").close()
     if not p.out_sam and final_unpair:
-        open(f"{final_unpair}.shard{o.proc_id}.done", "w").close()
+        os.replace(o.out_unpair, up_path)
+        open(up_path + ".done", "w").close()
     o.out_file, o.out_unpair = final_out, final_unpair
     print(f"shard {o.proc_id}: {total_n} pairs, "
           f"{fmt.n_aligned_pairs} aligned pairs")
