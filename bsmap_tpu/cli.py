@@ -246,6 +246,30 @@ def run(argv: list[str]) -> int:
 
     if not o.ref_file:
         sys.exit("fatal error: failed to open ref file")
+    warm_t = None
+    if o.index_cache and not p.RRBS_flag and o.engine in ("auto", "device"):
+        # cold-start overlap: when both caches exist, compile + first-
+        # execute zero-array twins of the run's kernels (the compile
+        # service dedupes identical programs) while the real arrays load
+        from .reference import genome_cache_key
+        gen_npz = os.path.join(o.index_cache,
+                               f"gen_{genome_cache_key(o.ref_file, p)}.npz")
+        idx_npz = os.path.join(o.index_cache,
+                               f"idx_{index_cache_key(o.ref_file, p)}.npz")
+        if os.path.exists(gen_npz) and os.path.exists(idx_npz):
+            try:
+                import jax
+                if len(jax.devices()) == 1:
+                    import threading
+                    from .engine import prewarm
+                    warm_t = threading.Thread(
+                        target=prewarm.warmup_from_caches,
+                        args=(gen_npz, idx_npz, p, bool(o.query_b),
+                              not p.out_sam),
+                        daemon=True)
+                    warm_t.start()
+            except Exception:
+                warm_t = None
     if o.index_cache:
         from .reference import load_genome_cached
         genome = load_genome_cached(o.ref_file, p, o.index_cache)
@@ -256,6 +280,11 @@ def run(argv: list[str]) -> int:
           f" {timer.total():.1f} secs passed")
     index = get_index(o, genome)
     print(f"Create seed table. {timer.total():.1f} secs passed")
+    if warm_t is not None:
+        # device memory discipline: the prewarm's zero arrays must be gone
+        # before the engine uploads the real ones (HBM holds one set at
+        # hg38 scale); join = cold run pays max(load, compile), not the sum
+        warm_t.join()
 
     if o.nprocs > 1:
         if o.query_a and o.query_b:

@@ -119,6 +119,31 @@ class EngineUnsupported(ImportError):
     callers fall back to the exact host engine."""
 
 
+def rc_tuple_of(param) -> tuple:
+    """Static 2-bit complement permutation + RC 'N' code for a Param."""
+    rc = tuple(int(param.alphabet[REV_CHAR[ord(param.useful_nt[c])]])
+               for c in range(4))
+    return rc, int(param.rev_alphabet[ord("N")])
+
+
+def make_cfg(param, W: int, n_chr: int, chains_mode: str, maxseg: int,
+             lean: bool = False, nw: int = FIXELEMENT) -> "Cfg":
+    """Kernel Cfg from a Param + genome shape facts alone (shared by the
+    engine and the cache-shape cold-start prewarm)."""
+    S, I = param.seed_size, param.index_interval
+    P = min(16 * nw - S + 1, maxseg * S + 2 * I)
+    rc, rc_n = rc_tuple_of(param)
+    return Cfg(S=S, I=I, maxseg=maxseg, chains_mode=chains_mode, P=P,
+               max_num_hits=param.max_num_hits,
+               report_repeat_hits=param.report_repeat_hits,
+               W=W, n_chr=n_chr, lean=lean,
+               rrbs=bool(param.RRBS_flag), min_ins=param.min_insert,
+               max_ins=param.max_insert,
+               tail=len(param.digest_site) - 2 * param.digest_pos
+               if param.RRBS_flag else 0,
+               rc=rc, rc_n=rc_n, nw=nw)
+
+
 class Cfg(NamedTuple):
     """Static (compile-time) configuration of the kernels."""
 
@@ -1362,19 +1387,8 @@ class DeviceEngine:
 
     def _cfg(self, chains_mode: str, lean: bool = False,
              nw: int = FIXELEMENT) -> Cfg:
-        p = self.param
-        S, I = p.seed_size, p.index_interval
-        MS = self._maxseg
-        P = min(16 * nw - S + 1, MS * S + 2 * I)
-        return Cfg(S=S, I=I, maxseg=MS, chains_mode=chains_mode, P=P,
-                   max_num_hits=p.max_num_hits,
-                   report_repeat_hits=p.report_repeat_hits,
-                   W=self.W, n_chr=self.genome.n_chr, lean=lean,
-                   rrbs=bool(p.RRBS_flag), min_ins=p.min_insert,
-                   max_ins=p.max_insert,
-                   tail=len(p.digest_site) - 2 * p.digest_pos
-                   if p.RRBS_flag else 0,
-                   rc=self._rc_tuple, rc_n=self._rc_n_int, nw=nw)
+        return make_cfg(self.param, self.W, self.genome.n_chr, chains_mode,
+                        self._maxseg, lean=lean, nw=nw)
 
     def _chains_mode(self, rsets: np.ndarray) -> str:
         if self.param.chains:
