@@ -246,6 +246,16 @@ def run(argv: list[str]) -> int:
 
     if not o.ref_file:
         sys.exit("fatal error: failed to open ref file")
+    tmp_cache = None
+    if o.nprocs == 1 and _wants_local_mp(o) and not o.index_cache:
+        # -p worker processes re-run genome pack + index build otherwise
+        # (the reference's threads share ONE in-RAM copy, main.cpp:45-131);
+        # auto-provision a cache dir: this parent builds + saves once,
+        # workers mmap-load the shared page-cached copy
+        import tempfile
+        tmp_cache = tempfile.mkdtemp(prefix="bsmap_tpu_idx_")
+        o.index_cache = tmp_cache
+        argv = list(argv) + ["--index-cache", tmp_cache]
     warm_t = None
     if o.index_cache and not p.RRBS_flag and o.engine in ("auto", "device"):
         # cold-start overlap: when both caches exist, compile + first-
@@ -292,7 +302,12 @@ def run(argv: list[str]) -> int:
         else:
             n = run_multihost_se(o, genome, index)
     elif _wants_local_mp(o):
-        n = run_local_multiprocess(o, argv)
+        try:
+            n = run_local_multiprocess(o, argv)
+        finally:
+            if tmp_cache:
+                import shutil
+                shutil.rmtree(tmp_cache, ignore_errors=True)
     elif o.query_a and o.query_b:
         from .engine.pair_pipeline import run_pair_end
         n = run_pair_end(o, genome, index)
