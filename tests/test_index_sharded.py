@@ -108,3 +108,47 @@ def test_pe_mesh_engine_parity(reference_binary, pe_mesh_data, engine):
     run_ref(reference_binary, pe_mesh_data, base + ["-o", "refpm.sam"])
     run_mesh(pe_mesh_data, base + ["-o", f"ourpm_{engine}.sam"], engine)
     assert_same(pe_mesh_data, "refpm.sam", f"ourpm_{engine}.sam")
+
+
+def test_rrbs_sharded_engine_parity(reference_binary, tmp_path_factory):
+    """RRBS on the data-parallel mesh engine (--engine sharded): the rrbs
+    kernel + tag-partitioned index replicate across devices like WGBS.
+    (The index-sharded engine still routes RRBS to other engines.)"""
+    import random
+    import re
+    d = tmp_path_factory.mktemp("rrbs_mesh")
+    rng = random.Random(17)
+    parts, pos = [], 0
+    while pos < 40000:
+        seg = "".join(rng.choice("ACGT")
+                      for _ in range(rng.randint(30, 250)))
+        parts += [seg, "CCGG"]
+        pos += len(seg) + 4
+    g = "".join(parts)
+    with open(d / "g.fa", "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, len(g), 70):
+            f.write(g[i:i + 70] + "\n")
+    sites = [m.start() for m in re.finditer("CCGG", g)]
+    comp = str.maketrans("ACGT", "TGCA")
+    with open(d / "r.fq", "w") as f:
+        n = 0
+        for _ in range(3000):
+            i = rng.randrange(len(sites) - 1)
+            frag = g[sites[i] + 1: sites[i + 1] + 3]
+            if not (28 <= len(frag) <= 500):
+                continue
+            L = min(60, len(frag))
+            s = (frag[:L] if rng.random() < 0.5
+                 else frag[::-1].translate(comp)[:L])
+            s = "".join("T" if c == "C" and rng.random() < 0.9 else c
+                        for c in s)
+            f.write(f"@r{n}\n{s}\n+\n{'I' * L}\n")
+            n += 1
+            if n >= 800:
+                break
+    base = ["-a", "r.fq", "-d", "g.fa", "-D", "C-CGG",
+            "-S", "1", "-v", "2", "-u"]
+    run_ref(reference_binary, d, base + ["-o", "ref.sam"])
+    run_mesh(d, base + ["-o", "our.sam"], "sharded")
+    assert_same(d, "ref.sam", "our.sam")
