@@ -37,6 +37,7 @@ bsmap_format_pair_block), with only the rare replays touching Python.
 from __future__ import annotations
 
 import os as _os
+import time as _time
 
 import numpy as np
 
@@ -55,6 +56,143 @@ from ..trim import filter_read
 
 PAIR_HITS_K = int(_os.environ.get("BSMAP_TPU_PAIR_HITS_K", 16))
 BIG = np.int32(0x3FFFFFFF)
+
+# compact on-device-join row layout, int32 x 11 (44 B/pair — the tunnel
+# D2H path runs at ~16 MB/s, so the old two-dispatch design's 2 x 220 B/pair
+# full rows cost ~1.75 s/window in transfer alone)
+(J_ALOC, J_BLOC, J_INS, J_WLOC_A, J_WLOC_B, J_FTOT, J_PAIR, J_CHRS,
+ J_MATE_A, J_MATE_B, J_FLAGS) = range(11)
+JN_COLS = 11
+# J_PAIR: paired(5b) | cnt<<5 (11b, clamped 2047) | chain<<16 | na<<17 (4b)
+#         | nb<<21 (4b)
+# J_CHRS: a_chr | b_chr<<16
+# J_MATE_*: found | sch<<1 | ii<<2 (4b) | min(ssum,1023)<<6 | chrp<<16
+# J_FLAGS: replay_a | replay_b<<1 | ok_both<<2 | cap_join<<3
+
+
+def _device_pair_join(MS: int, K: int, min_ins: int, max_ins: int,
+                      max_hits: int, rows_a, rows_b, la, lb,
+                      buds_a, buds_b, rand_a, rand_b, ftot):
+    """The K x K GetPairs join (pairs.cpp:34-135) + the SortHits4PE-sorted
+    unpaired-fallback selection, ON DEVICE — a jnp port of `_join` /
+    `_unpaired_sel` emitting the compact JN_COLS rows.  Runs inside the
+    fused pair kernel so the per-mate hit lists never cross the tunnel."""
+    import jax
+    import jax.numpy as jnp
+    from .device_engine import (N_EXTRAS, X_FOUND, X_II, X_OK, X_REPLAY,
+                                X_SSUM)
+
+    B = rows_a.shape[0]
+    base = 2 * MS + N_EXTRAS
+    BIGJ = jnp.int32(0x3FFFFFFF)
+
+    def unpack(rows):
+        loc = rows[:, base: base + K]
+        w1 = rows[:, base + K: base + 2 * K]
+        v = w1 >= 0
+        return (loc, w1 & 15, (w1 >> 4) & 1, (w1 >> 5) & 15,
+                (w1 >> 9) & 0xFFFF, v)
+
+    locA, wA, chA, rkA, cpA, vA = unpack(rows_a)
+    locB, wB, chB, rkB, cpB, vB = unpack(rows_b)
+    aloc = locA[:, :, None]
+    bloc = locB[:, None, :]
+    wa, wb = wA[:, :, None], wB[:, None, :]
+    m = jnp.maximum(wa, wb)
+    pchain = jnp.where(chA[:, :, None] == 0, 0, 1)
+    chain_ok = (chA[:, :, None] ^ chB[:, None, :]) == 1
+    same_chr = cpA[:, :, None] == cpB[:, None, :]
+    avail = (rkA[:, :, None] <= m) & (rkB[:, None, :] <= m)
+    odd = cpA[:, :, None] & 1
+    a_end_form = odd != pchain
+    ins = jnp.where(a_end_form, aloc + la[:, None, None] - bloc,
+                    bloc + lb[:, None, None] - aloc)
+    elig = (vA[:, :, None] & vB[:, None, :] & chain_ok & same_chr & avail
+            & (wa <= buds_a[:, None, None]) & (wb <= buds_b[:, None, None])
+            & (ins >= min_ins) & (ins <= max_ins))
+    m_m = jnp.where(elig, m, BIGJ)
+    i_star = m_m.min(axis=(1, 2))
+    paired = i_star < BIGJ
+    at_win = elig & (m == i_star[:, None, None])
+    tot = wa + wb
+    win_total = jnp.where(at_win, tot, BIGJ).min(axis=(1, 2))
+    F = at_win & (tot == win_total[:, None, None])
+    cnt = F.sum(axis=(1, 2))
+    cap_join = cnt >= max_hits
+    combo = jnp.where(wa == wb, 0,
+                      jnp.where(wb < wa, 1 + 2 * wb, 2 + 2 * wa))
+
+    def sorted_rank(loc, w, ch, cp, v):
+        same = (v[:, :, None] & v[:, None, :]
+                & (w[:, :, None] == w[:, None, :])
+                & (ch[:, :, None] == ch[:, None, :]))
+        less = ((cp[:, None, :] < cp[:, :, None])
+                | ((cp[:, None, :] == cp[:, :, None])
+                   & (loc[:, None, :] < loc[:, :, None])))
+        return (same & less).sum(axis=2)
+
+    raA = sorted_rank(locA, wA, chA, cpA, vA)
+    raB = sorted_rank(locB, wB, chB, cpB, vB)
+    # combo<=32 (6b) |pchain -> 7b, |raA (6b) -> 13b, |raB (6b) -> 19b,
+    # |kidx (8b for K=16) -> 27b: fits int32
+    key = ((((combo << 1) | pchain) << 6 | raA[:, :, None]) << 6) \
+        | raB[:, None, :]
+    kidx = jnp.arange(K * K, dtype=jnp.int32).reshape(1, K, K)
+    keyp = jnp.where(F, (key << 8) | kidx, BIGJ).reshape(B, K * K)
+    keyp = jnp.sort(keyp, axis=1)
+    j = (rand_a % jnp.maximum(cnt, 1).astype(jnp.uint32)).astype(jnp.int32)
+    selp = jnp.take_along_axis(keyp, j[:, None], axis=1)[:, 0]
+    sel_kl = selp & 0xFF
+    sel_k, sel_l = sel_kl // K, sel_kl % K
+    r = jnp.arange(B)
+    s_chain = jnp.where(paired, chA[r, sel_k], 0)
+    s_na = wA[r, sel_k]
+    s_nb = wB[r, sel_l]
+    s_ins = jnp.where(paired, ins[r, sel_k, sel_l], 0)
+    s_achr = cpA[r, sel_k]
+    s_aloc = locA[r, sel_k]
+    s_bchr = cpB[r, sel_l]
+    s_bloc = locB[r, sel_l]
+
+    def unpaired_sel(loc, w, ch, cp, v, rows, rand):
+        ii = rows[:, 2 * MS + X_II]
+        ssum = rows[:, 2 * MS + X_SSUM]
+        best = v & (w == ii[:, None])
+        kbig = jnp.int32(0x7FFFFFFF)
+        k_ch = jnp.where(best, ch, kbig)
+        k_cp = jnp.where(best, cp, kbig)
+        k_lo = jnp.where(best, loc, kbig)
+        order = jnp.lexsort((k_lo, k_cp, k_ch))          # (B, K)
+        jj = (rand % jnp.maximum(ssum, 1).astype(jnp.uint32)) \
+            .astype(jnp.int32)
+        sel = jnp.take_along_axis(order, jj[:, None], axis=1)[:, 0]
+        return (ch[r, sel], cp[r, sel], loc[r, sel], ii, ssum)
+
+    sch_a, scp_a, swl_a, ii_a, ssum_a = unpaired_sel(
+        locA, wA, chA, cpA, vA, rows_a, rand_a)
+    sch_b, scp_b, swl_b, ii_b, ssum_b = unpaired_sel(
+        locB, wB, chB, cpB, vB, rows_b, rand_b)
+
+    def pack_mate(rows, sch, scp, swl, ii, ssum):
+        fnd = (rows[:, 2 * MS + X_FOUND] != 0).astype(jnp.int32)
+        return (fnd | (sch << 1) | (ii << 2)
+                | (jnp.minimum(ssum, 1023) << 6) | (scp << 16))
+
+    ok_both = ((rows_a[:, 2 * MS + X_OK] != 0)
+               & (rows_b[:, 2 * MS + X_OK] != 0))
+    flags = ((rows_a[:, 2 * MS + X_REPLAY] != 0).astype(jnp.int32)
+             | ((rows_b[:, 2 * MS + X_REPLAY] != 0).astype(jnp.int32) << 1)
+             | (ok_both.astype(jnp.int32) << 2)
+             | (cap_join.astype(jnp.int32) << 3))
+    jpair = (jnp.where(paired, i_star + 1, 0)
+             | (jnp.minimum(cnt, 2047) << 5)
+             | (s_chain << 16) | (s_na << 17) | (s_nb << 21))
+    return jnp.stack([
+        s_aloc, s_bloc, s_ins, swl_a, swl_b, ftot, jpair,
+        s_achr | (s_bchr << 16),
+        pack_mate(rows_a, sch_a, scp_a, swl_a, ii_a, ssum_a),
+        pack_mate(rows_b, sch_b, scp_b, swl_b, ii_b, ssum_b),
+        flags], axis=1)
 
 
 class _SelList:
@@ -111,8 +249,52 @@ class PairSEView:
         return self._chits
 
 
+import functools as _functools
+
+import jax as _jax
+import jax.numpy as _jnp
+
+
+@_functools.partial(_jax.jit, static_argnames=("cfg_a", "cfg_b", "CANDS"))
+def _pair_fused_kernel(cfg_a, cfg_b, CANDS, prof_a, d_kmer_tab, d_kcnt,
+                       rc_code, rc_n_code, d_catcat, d_anchors, d_sizes,
+                       d_rcoff, d_wlocs, d_clocs, d_tags, d_sites,
+                       d_site_off, d_tag_off, packed_a, packed_b):
+    """ONE program per window: both mates' schedule+verify AND the pair
+    join run on device; only the compact JN_COLS rows come home."""
+    from .device_engine import (_schedule_impl, _unpack_inputs, _verify_impl,
+                                X_FTOT)
+    outs = []
+    rands = []
+    lens2 = []
+    buds2 = []
+    for cfg, packed in ((cfg_a, packed_a), (cfg_b, packed_b)):
+        qw0, rw0, lens, budgets, rand32, maxrank = _unpack_inputs(packed)
+        (qw, rw, h, off0, off3, wcnt, cnt, wantv, s_off, c_off,
+         ftot_rank) = _schedule_impl(
+            cfg, prof_a, d_kmer_tab, d_kcnt, d_tag_off, rc_code, rc_n_code,
+            qw0, rw0, lens, budgets, maxrank)
+        outs.append(_verify_impl(
+            cfg, CANDS, d_catcat, d_anchors, d_sizes, d_rcoff, d_wlocs,
+            d_clocs, d_tags, d_sites, d_site_off, qw, rw, lens, budgets,
+            rand32, maxrank, h, off0, off3, wcnt, cnt, wantv, s_off, c_off,
+            ftot_rank[:, -1]))
+        rands.append(rand32)
+        lens2.append(lens)
+        buds2.append(budgets)
+    MS, K = cfg_a.maxseg, cfg_a.hits_k
+    ftot = _jnp.maximum(outs[0][:, 2 * MS + X_FTOT],
+                        outs[1][:, 2 * MS + X_FTOT])
+    return _device_pair_join(MS, K, cfg_a.min_ins, cfg_a.max_ins,
+                             cfg_a.max_num_hits, outs[0], outs[1],
+                             lens2[0], lens2[1], buds2[0], buds2[1],
+                             rands[0], rands[1], ftot)
+
+
 class PairDeviceEngine:
-    """Batch PE aligner: two fused SE dispatches + host K x K pair join."""
+    """Batch PE aligner: one fused dispatch per window (both mates +
+    on-device join) on the single-device engine; two SE dispatches + host
+    join over the mesh engines."""
 
     def __init__(self, genome: PackedGenome, index: SeedIndex, param: Param,
                  se_engine: DeviceEngine | None = None):
@@ -132,8 +314,12 @@ class PairDeviceEngine:
         self.n_replayed = 0
 
     def _cfg(self, readset: int, nw: int = FIXELEMENT):
+        # min/max insert ride the cfg for the on-device join (the kernel
+        # only reads them under cfg.rrbs otherwise)
         mode = "b" if self.param.chains else ("f" if readset == 1 else "r")
-        return self.se._cfg(mode, nw=nw)._replace(pe=True, hits_k=self.K)
+        return self.se._cfg(mode, nw=nw)._replace(
+            pe=True, hits_k=self.K, min_ins=self.param.min_insert,
+            max_ins=self.param.max_insert)
 
     def supports_pair_blocks(self) -> bool:
         """SAM/BAM PE output without trimming/RRBS/-R runs on the native
@@ -145,10 +331,14 @@ class PairDeviceEngine:
                 and p.out_sam >= 1 and not p.out_ref
                 and type(self.se)._dispatch is DeviceEngine._dispatch)
 
+    def _fused_ok(self) -> bool:
+        return (type(self.se)._dispatch is DeviceEngine._dispatch
+                and _os.environ.get("BSMAP_TPU_PE_FUSED", "1") != "0")
+
     def warmup_programs(self, nw: int = 7) -> None:
-        """First-execute both mates' PE programs at every capacity so the
-        remote compiles overlap (see DeviceEngine.warmup_programs).
-        Idempotent: repeat calls are free."""
+        """First-execute the PE programs at every capacity so the remote
+        compiles overlap (see DeviceEngine.warmup_programs).  Idempotent:
+        repeat calls are free."""
         se = self.se
         if type(se)._dispatch is not DeviceEngine._dispatch:
             return
@@ -161,9 +351,16 @@ class PairDeviceEngine:
         z[:, width - 3] = min(self.param.max_snp_num, MAXSNPS)
         z[:, width - 1] = self.MS - 1
         outs = []
-        for cfg in (self._cfg(1, nw), self._cfg(2, nw)):
+        if self._fused_ok():
+            cfg_a, cfg_b = self._cfg(1, nw), self._cfg(2, nw)
+            dz = _jnp.asarray(z)
             for cap in se.cands_tiers:
-                outs.append(se._dispatch(cfg, z, cap))
+                outs.append(_pair_fused_kernel(cfg_a, cfg_b, cap,
+                                               *se._engine_args(), dz, dz))
+        else:
+            for cfg in (self._cfg(1, nw), self._cfg(2, nw)):
+                for cap in se.cands_tiers:
+                    outs.append(se._dispatch(cfg, z, cap))
         for o in outs:
             np.asarray(o)
 
@@ -428,6 +625,114 @@ class PairDeviceEngine:
 
         return finish if defer else finish()
 
+    def _align_join_fused(self, rows_in_a, rows_in_b, cfg_a, cfg_b):
+        """Two-phase dispatch of the FUSED pair kernel: phase 1 at rank 0
+        (commits every i*==0 pair), phase 2 full-rank bin-packed for the
+        rest.  Returns finish() -> (n, JN_COLS) compact join rows."""
+        se = self.se
+        MS = self.MS
+        n = rows_in_a.shape[0]
+        jrows = np.zeros((n, JN_COLS), dtype=np.int32)
+        args = se._engine_args()
+
+        def dispatch(sel, cap, rank):
+            ranks = np.full(n, rank, dtype=np.int32)
+            out = _pair_fused_kernel(
+                cfg_a, cfg_b, cap, *args,
+                _jnp.asarray(se._pad_rows(rows_in_a, sel, ranks)),
+                _jnp.asarray(se._pad_rows(rows_in_b, sel, ranks)))
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+            se.n_dispatched += 1
+            return sel, out
+
+        pend1 = [dispatch(np.arange(i, min(i + se.B, n), dtype=np.int64),
+                          se.CANDS, 0)
+                 for i in range(0, n, se.B)]
+
+        def finish():
+            t0 = _time.time()
+            for sel, out in pend1:
+                jrows[sel] = np.asarray(out)[: len(sel)]
+            se.t_collect += _time.time() - t0
+            ok = (jrows[:, J_FLAGS] >> 2) & 1
+            paired = jrows[:, J_PAIR] & 31
+            commit = (ok == 1) & (paired == 1)      # i* == 0: exact
+            ftot = jrows[:, J_FTOT].astype(np.int64)
+            rem = np.nonzero(~commit)[0]
+            cap_max = min(se.CANDS_BIG, (1 << 27) - 1)
+            too_big = rem[ftot[rem] >= cap_max]
+            jrows[too_big] = 0
+            jrows[too_big, J_FLAGS] = 1             # replay
+            rem = rem[ftot[rem] < cap_max]
+            if len(rem):
+                d = np.maximum(ftot[rem], 1)
+                csum = np.cumsum(d)
+                spans = []
+                s = 0
+                base = 0
+                for k in range(len(rem)):
+                    if k - s == se.B or csum[k] - base > se.CANDS_BIG:
+                        spans.append((s, k))
+                        s = k
+                        base = csum[k - 1]
+                spans.append((s, len(rem)))
+                pend2 = []
+                for a0, b0 in spans:
+                    mass = int(csum[b0 - 1] - (csum[a0 - 1] if a0 else 0))
+                    cap = se.CANDS if mass <= se.CANDS else se.CANDS_BIG
+                    pend2.append(dispatch(rem[a0: b0], cap, MS - 1))
+                t0 = _time.time()
+                for sel, out in pend2:
+                    jrows[sel] = np.asarray(out)[: len(sel)]
+                se.t_collect += _time.time() - t0
+                bad = rem[((jrows[rem, J_FLAGS] >> 2) & 1) == 0]
+                jrows[bad] = 0
+                jrows[bad, J_FLAGS] = 1             # replay (defensive)
+            return jrows
+
+        return finish
+
+    def _replay_flag_fused(self, jrows, risk):
+        """Replay decisions from the compact join rows (mirrors
+        _replay_flag)."""
+        p = self.param
+        flags = jrows[:, J_FLAGS]
+        paired = jrows[:, J_PAIR] & 31
+        cnt = (jrows[:, J_PAIR] >> 5) & 2047
+        flag = ((flags & 3) != 0) | (((flags >> 3) & 1) != 0) | risk
+        if p.report_repeat_hits == 0:
+            flag = flag | ((paired > 1) & (cnt > 1))
+        if p.randseed == 0:
+            fnd_a = (jrows[:, J_MATE_A] & 1) != 0
+            fnd_b = (jrows[:, J_MATE_B] & 1) != 0
+            ss_a = (jrows[:, J_MATE_A] >> 6) & 1023
+            ss_b = (jrows[:, J_MATE_B] >> 6) & 1023
+            flag = flag | ((paired > 0) & (cnt > 1)) \
+                | ((paired == 0) & ((fnd_a & (ss_a != 1))
+                                    | (fnd_b & (ss_b != 1))))
+        return flag
+
+    @staticmethod
+    def _prow_from_jrows(jrows):
+        """Decode compact join rows into the native formatter's 22-col
+        prow layout."""
+        j = jrows
+        pairw = j[:, J_PAIR]
+        ma, mb = j[:, J_MATE_A], j[:, J_MATE_B]
+        return np.stack([
+            pairw & 31, (pairw >> 5) & 2047, (pairw >> 16) & 1,
+            (pairw >> 17) & 15, (pairw >> 21) & 15, j[:, J_INS],
+            j[:, J_CHRS] & 0xFFFF, j[:, J_ALOC],
+            (j[:, J_CHRS] >> 16) & 0xFFFF, j[:, J_BLOC],
+            ma & 1, (ma >> 2) & 15, (ma >> 6) & 1023, (ma >> 1) & 1,
+            (ma >> 16) & 0xFFFF, j[:, J_WLOC_A],
+            mb & 1, (mb >> 2) & 15, (mb >> 6) & 1023, (mb >> 1) & 1,
+            (mb >> 16) & 0xFFFF, j[:, J_WLOC_B],
+        ], axis=1).astype(np.int32)
+
     def _replay_flag(self, rows_a, rows_b, join, risk):
         """Pairs whose exact output needs the sequential host engine."""
         p = self.param
@@ -673,6 +978,25 @@ class PairDeviceEngine:
         cfg_a, cfg_b = self._cfg(1, nw), self._cfg(2, nw)
         risk = (se._stale_risk(la, buds_a) | se._stale_risk(lb, buds_b)) \
             if n else np.zeros(0, dtype=bool)
+
+        if self._fused_ok():
+            finf = (self._align_join_fused(rows_in_a, rows_in_b,
+                                           cfg_a, cfg_b) if n else None)
+
+            def finish_fused(fmt) -> bytes:
+                if n:
+                    jr = finf()
+                    replay_flag = self._replay_flag_fused(jr, risk)
+                    prow_live = self._prow_from_jrows(jr)
+                else:
+                    replay_flag = np.zeros(0, dtype=bool)
+                    prow_live = np.zeros((0, 22), dtype=np.int32)
+                return self._emit_block(
+                    fmt, blk_a, blk_b, live, live_pos, la, lb, risk,
+                    replay_flag, prow_live, None, None, None, None)
+
+            return finish_fused
+
         fin = (self._align_join(rows_in_a, rows_in_b, cfg_a, cfg_b, la, lb,
                                 buds_a, buds_b, rand_a, rand_b, defer=True)
                if n else None)
@@ -681,69 +1005,11 @@ class PairDeviceEngine:
             if n:
                 rows_a, rows_b, join, _ = fin()
                 replay_flag = self._replay_flag(rows_a, rows_b, join, risk)
-            else:
-                rows_a = rows_b = np.zeros(
-                    (0, 2 * self.MS + N_EXTRAS + 2 * self.K),
-                    dtype=np.int32)
-                join = None
-                replay_flag = np.zeros(0, dtype=bool)
-
-            # --- exact host replays in pair order with MateState sync -------
-            st_a, st_b = self.pair_host.state_a, self.pair_host.state_b
-            read_a = lambda t: blk_a.read_obj(int(live_pos[t]))
-            read_b = lambda t: blk_b.read_obj(int(live_pos[t]))
-            mode_a = "b" if p.chains else "f"
-            mode_b = "b" if p.chains else "r"
-
-            def sync_to(cursor: int, t: int) -> int:
-                se._sync_state_span(read_a, cursor, t,
-                                    rows_a[:, 2 * MS + X_SOFF],
-                                    rows_a[:, 2 * MS + X_COFF], la,
-                                    replay_flag, mode_a, state=st_a)
-                se._sync_state_span(read_b, cursor, t,
-                                    rows_b[:, 2 * MS + X_SOFF],
-                                    rows_b[:, 2 * MS + X_COFF], lb,
-                                    replay_flag, mode_b, state=st_b)
-                return t
-
-            status = np.full(n_all, 2, dtype=np.int32)
-            status[~live] = 0
-            rflag_pos = live_pos[replay_flag] if n else live_pos[:0]
-            status[rflag_pos] = 0
-            py_parts: dict[int, str] = {}
-            lcum = np.concatenate([[0], np.cumsum(live)])
-            cursor = 0
-            for i in np.nonzero(status == 0)[0]:
-                i = int(i)
-                t = int(lcum[i])          # live row of this pair (if live)
-                if live[i]:
-                    if risk[t]:
-                        cursor = sync_to(cursor, t) + 1
-                else:
-                    cursor = sync_to(cursor, t)
-                ra, rb = blk_a.read_obj(i), blk_b.read_obj(i)
-                pres = self.pair_host.align_pair(ra, rb)
-                self.n_replayed += 1
-                fell = 1
-                text = ""
-                if pres.paired:
-                    ptext, fell = fmt.string_align_pair(ra, rb, pres)
-                    text += ptext
-                if fell == 1 or not pres.paired:
-                    text += fmt.string_align_unpair(
-                        ra, rb, pres.filtered_a, pres.filtered_b, pres)
-                py_parts[i] = text
-            if n:
-                sync_to(cursor, n)
-
-            # --- per-pair join rows for the native formatter -----------------
-            prow = np.zeros((n_all, 22), dtype=np.int32)
-            if n:
                 usel_a = self._unpaired_sel(rows_a, rand_a)
                 usel_b = self._unpaired_sel(rows_b, rand_b)
                 ex = 2 * MS
                 s = join["sel"]
-                cols = np.stack([
+                prow_live = np.stack([
                     join["paired"], join["cnt"], s["chain"], s["na"],
                     s["nb"], s["insert"], s["a_chr"], s["a_loc"],
                     s["b_chr"], s["b_loc"],
@@ -752,25 +1018,91 @@ class PairDeviceEngine:
                     rows_b[:, ex + X_FOUND], rows_b[:, ex + X_II],
                     rows_b[:, ex + X_SSUM], usel_b[0], usel_b[1], usel_b[2],
                 ], axis=1).astype(np.int32)
-                prow[live_pos] = cols
-
-            out, line_off, (npair, na_, nb_) = native.format_pair_block(
-                lib, blk_a.buf, blk_a.rec, blk_b.buf, blk_b.rec, status,
-                prow, se._chrname_buf, se._chrname_off, REV_CHAR,
-                bool(p.out_unmap), p.report_repeat_hits, blk_a.synth_qual,
-                blk_b.synth_qual)
-            fmt.n_aligned_pairs += npair
-            fmt.n_aligned_a += na_
-            fmt.n_aligned_b += nb_
-            if not py_parts:
-                return out
-            pieces, prev = [], 0
-            for i in sorted(py_parts):
-                cut = int(line_off[i])
-                pieces.append(out[prev:cut])
-                pieces.append(py_parts[i].encode("latin1"))
-                prev = cut
-            pieces.append(out[prev:])
-            return b"".join(pieces)
+                soff = (rows_a[:, ex + X_SOFF], rows_a[:, ex + X_COFF],
+                        rows_b[:, ex + X_SOFF], rows_b[:, ex + X_COFF])
+            else:
+                replay_flag = np.zeros(0, dtype=bool)
+                prow_live = np.zeros((0, 22), dtype=np.int32)
+                soff = (None, None, None, None)
+            return self._emit_block(fmt, blk_a, blk_b, live, live_pos,
+                                    la, lb, risk, replay_flag, prow_live,
+                                    *soff)
 
         return finish
+
+    def _emit_block(self, fmt, blk_a, blk_b, live, live_pos, la, lb, risk,
+                    replay_flag, prow_live, soff_a, coff_a, soff_b,
+                    coff_b) -> bytes:
+        """Shared block emit: exact host replays in pair order with
+        MateState sync, prow scatter, native pair formatting + splicing.
+        soff/coff may be None (recomputed by the sync machinery)."""
+        from .. import native
+        p = self.param
+        se = self.se
+        lib = native.get_lib()
+        n_all = len(blk_a)
+        n = len(live_pos)
+        st_a, st_b = self.pair_host.state_a, self.pair_host.state_b
+        read_a = lambda t: blk_a.read_obj(int(live_pos[t]))
+        read_b = lambda t: blk_b.read_obj(int(live_pos[t]))
+        mode_a = "b" if p.chains else "f"
+        mode_b = "b" if p.chains else "r"
+
+        def sync_to(cursor: int, t: int) -> int:
+            se._sync_state_span(read_a, cursor, t, soff_a, coff_a, la,
+                                replay_flag, mode_a, state=st_a)
+            se._sync_state_span(read_b, cursor, t, soff_b, coff_b, lb,
+                                replay_flag, mode_b, state=st_b)
+            return t
+
+        status = np.full(n_all, 2, dtype=np.int32)
+        status[~live] = 0
+        rflag_pos = live_pos[replay_flag] if n else live_pos[:0]
+        status[rflag_pos] = 0
+        py_parts: dict[int, str] = {}
+        lcum = np.concatenate([[0], np.cumsum(live)])
+        cursor = 0
+        for i in np.nonzero(status == 0)[0]:
+            i = int(i)
+            t = int(lcum[i])              # live row of this pair (if live)
+            if live[i]:
+                if risk[t]:
+                    cursor = sync_to(cursor, t) + 1
+            else:
+                cursor = sync_to(cursor, t)
+            ra, rb = blk_a.read_obj(i), blk_b.read_obj(i)
+            pres = self.pair_host.align_pair(ra, rb)
+            self.n_replayed += 1
+            fell = 1
+            text = ""
+            if pres.paired:
+                ptext, fell = fmt.string_align_pair(ra, rb, pres)
+                text += ptext
+            if fell == 1 or not pres.paired:
+                text += fmt.string_align_unpair(
+                    ra, rb, pres.filtered_a, pres.filtered_b, pres)
+            py_parts[i] = text
+        if n:
+            sync_to(cursor, n)
+
+        prow = np.zeros((n_all, 22), dtype=np.int32)
+        if n:
+            prow[live_pos] = prow_live
+        out, line_off, (npair, na_, nb_) = native.format_pair_block(
+            lib, blk_a.buf, blk_a.rec, blk_b.buf, blk_b.rec, status,
+            prow, se._chrname_buf, se._chrname_off, REV_CHAR,
+            bool(p.out_unmap), p.report_repeat_hits, blk_a.synth_qual,
+            blk_b.synth_qual)
+        fmt.n_aligned_pairs += npair
+        fmt.n_aligned_a += na_
+        fmt.n_aligned_b += nb_
+        if not py_parts:
+            return out
+        pieces, prev = [], 0
+        for i in sorted(py_parts):
+            cut = int(line_off[i])
+            pieces.append(out[prev:cut])
+            pieces.append(py_parts[i].encode("latin1"))
+            prev = cut
+        pieces.append(out[prev:])
+        return b"".join(pieces)
