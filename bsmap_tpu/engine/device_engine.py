@@ -105,6 +105,31 @@ SATLIM = np.uint32(1 << 30)    # saturating-cumsum fixed point (overflow guard)
 _KVAR = set(filter(None, _os.environ.get("BSMAP_TPU_KVAR", "").split(",")))
 
 
+_FETCH_POOL = None
+
+
+def _fetch_all(outs):
+    """Fetch device arrays to host CONCURRENTLY (ordered results).
+
+    The remote-tunnel D2H path has a per-RPC latency floor that swings
+    between ~30 ms and ~1.3 s with service load (measured: 1 MB = 1300 ms
+    and 16 MB = 1424 ms in one slow phase — latency-bound, not
+    bandwidth-bound), and ``copy_to_host_async`` is a no-op through the
+    tunnel, so a serial per-window ``np.asarray`` loop pays one full RPC
+    latency per window (8x end-to-end slowdown observed).  Concurrent
+    fetches DO overlap (4 x 1 MB: 0.79 s serial vs 0.30 s threaded), so
+    every multi-window collection point funnels through this pool."""
+    if len(outs) <= 1:
+        return [np.asarray(o) for o in outs]
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        import concurrent.futures as _cf
+        _FETCH_POOL = _cf.ThreadPoolExecutor(
+            max_workers=int(_os.environ.get("BSMAP_TPU_FETCH_THREADS", "8")),
+            thread_name_prefix="bsmap-fetch")
+    return list(_FETCH_POOL.map(np.asarray, outs))
+
+
 def _sel_cols(tab, idx):
     """tab[b, idx[b]] with a SMALL static column count: unrolled
     elementwise selects instead of a gather.  tab (B, K), idx (B,)."""
@@ -1648,8 +1673,7 @@ class DeviceEngine:
             # RRBS never probes or runs the fixed schedule (cfg gates)
             pcfg = cfg._replace(probe=True, lean=False, hits_k=0)
             outs.append(self._dispatch(pcfg, z, 1))
-        for o in outs:
-            np.asarray(o)   # force: the tunnel resolves only at host fetch
+        _fetch_all(outs)   # force: the tunnel resolves only at host fetch
 
     def _pad_rows(self, rows, sel, ranks=None):
         """Zero-padded (B, row_width) window of dispatch rows `sel`, with
@@ -1804,15 +1828,17 @@ class DeviceEngine:
             if not collect_now:
                 return pend
             nd = ne = 0
-            for sel, out in pend:
-                d_, e_ = collect(sel, out)
+            t0 = _time.time()
+            arrs = _fetch_all([o for _, o in pend])
+            self.t_collect += _time.time() - t0
+            for (sel, _), arr in zip(pend, arrs):
+                d_, e_ = collect(sel, arr)
                 nd += d_
                 ne += e_
             return nd, ne
 
-        def probe_rank_totals(rem):
-            """Stage-1-only pre-pass over reads `rem`: (len(rem), maxseg)
-            per-rank cumulative candidate totals."""
+        def probe_enqueue(rem):
+            """Enqueue the stage-1-only totals pre-pass over reads `rem`."""
             pend = []
             t0 = _time.time()
             pcfg = cfg._replace(probe=True, lean=False, hits_k=0)
@@ -1827,12 +1853,20 @@ class DeviceEngine:
                 pend.append((i, sel, out))
                 self.n_probe += 1
             self.t_enqueue += _time.time() - t0
-            ftr = np.zeros((len(rem), MS), dtype=np.int64)
+            return pend
+
+        def probe_collect(pendp, nrem):
+            """(nrem, maxseg) per-rank cumulative candidate totals."""
+            ftr = np.zeros((nrem, MS), dtype=np.int64)
             t0 = _time.time()
-            for i, sel, out in pend:
-                ftr[i: i + len(sel)] = np.asarray(out)[: len(sel)]
+            arrs = _fetch_all([o for _, _, o in pendp])
+            for (i, sel, _), arr in zip(pendp, arrs):
+                ftr[i: i + len(sel)] = arr[: len(sel)]
             self.t_collect += _time.time() - t0
             return ftr
+
+        def probe_rank_totals(rem):
+            return probe_collect(probe_enqueue(rem), len(rem))
 
         def packed_rank_rounds(rem, ftr):
             """Round A at the progressive start rank (most reads resolve at
@@ -1853,14 +1887,12 @@ class DeviceEngine:
 
         n_done = n_esc = 0
         n_win = (n + self.B - 1) // self.B
+        pend1 = pendp = rem0 = None
         if probing:
-            rem = np.arange(n, dtype=np.int64)
-            ftr = probe_rank_totals(rem)
-            if ftr[:, -1].sum() < n_win * self.CANDS // 2:
-                self.probe_mode = False      # genome turned out clean
-            packed_rank_rounds(rem, ftr)
+            rem0 = np.arange(n, dtype=np.int64)
+            pendp = probe_enqueue(rem0)
         else:
-            pend = []
+            pend1 = []
             t0 = _time.time()
             # fixed-schedule fast path for the bulk round: ~5x cheaper
             # stage 1; multi-hit / capped reads re-dispatch exactly below
@@ -1874,54 +1906,81 @@ class DeviceEngine:
                     out.copy_to_host_async()
                 except Exception:
                     pass
-                pend.append((sel, out))
+                pend1.append((sel, out))
                 self.n_dispatched += 1
             self.t_enqueue += _time.time() - t0
-            for sel, out in pend:
-                d, e = collect(sel, out, fx=fx_ok)
-                n_done += d
-                n_esc += e
-            if n:
-                rem_mass = int(ftot[~done].sum())
-                if rem_mass > 2 * n_win * self.CANDS and self._probe_ok:
-                    # most of the demand overflowed the optimistic round:
-                    # repeat-heavy genome — switch to probe + exact packing,
-                    # for THIS call's leftovers too (the r4 chr21 first
-                    # block otherwise pays a full-rank packed sweep)
-                    self.probe_mode = True
-                    # only reads whose enumeration overflowed: already-
-                    # served rank-escapees go straight to round 2
-                    rem = np.nonzero(~done & ~served)[0]
-                    if len(rem) and not (cfg.pe or cfg.rrbs):
-                        packed_rank_rounds(rem, probe_rank_totals(rem))
 
-        # self-tuning (future calls): when rank escalation dominates, start
-        # at full enumeration instead of paying the extra round
-        if n and init_rank < full_rank and n_done + n_esc > 0 \
-                and n_esc > n_done:
-            self.rank_start = full_rank
+        def complete_rounds():
+            """Round-1 collection (+ probe packing + self-tuning) and the
+            round-2 full-rank dispatch.  Deferred callers run this from
+            finish() in the writer thread, so BOTH rounds' collection
+            latency overlaps the next block's device time (tuning then lags
+            one block, which only delays the probe/rank heuristics)."""
+            nonlocal n_done, n_esc
+            if probing:
+                ftr = probe_collect(pendp, n)
+                if ftr[:, -1].sum() < n_win * self.CANDS // 2:
+                    self.probe_mode = False      # genome turned out clean
+                packed_rank_rounds(rem0, ftr)
+            else:
+                t0 = _time.time()
+                arrs = _fetch_all([o for _, o in pend1])
+                self.t_collect += _time.time() - t0
+                for (sel, _), arr in zip(pend1, arrs):
+                    d, e = collect(sel, arr, fx=fx_ok)
+                    n_done += d
+                    n_esc += e
+                if n:
+                    rem_mass = int(ftot[~done].sum())
+                    if rem_mass > 2 * n_win * self.CANDS and self._probe_ok:
+                        # most of the demand overflowed the optimistic
+                        # round: repeat-heavy genome — switch to probe +
+                        # exact packing, for THIS call's leftovers too (the
+                        # r4 chr21 first block otherwise pays a full-rank
+                        # packed sweep)
+                        self.probe_mode = True
+                        # only reads whose enumeration overflowed: already-
+                        # served rank-escapees go straight to round 2
+                        rem = np.nonzero(~done & ~served)[0]
+                        if len(rem) and not (cfg.pe or cfg.rrbs):
+                            packed_rank_rounds(rem, probe_rank_totals(rem))
 
-        # --- round 2: everything unresolved re-dispatches ONCE at full rank
-        # (always exact: the kernel applies the progressive-sensitivity
-        # semantics internally), exactly bin-packed by the totals.  The
-        # dispatches are ENQUEUED here; collection + host replays run in
-        # finish(), which deferred callers (the block pipeline's writer
-        # thread) invoke while the NEXT block's round 1 is already on the
-        # device — the round-2 latency overlaps instead of serializing.
-        rem = np.nonzero(~done)[0]
-        if len(rem):
-            too_big = rem[ftot[rem] >= cap_max]
-            if len(too_big):
-                # a single read exceeding the big capacity: exact host replay
-                mark_replay(too_big)
-                done[too_big] = True
-                rem = rem[ftot[rem] < cap_max]
-        pend2 = (dispatch_packs(rem, ftot[rem], full_rank,
-                                collect_now=False) if len(rem) else [])
+            # self-tuning (future calls): when rank escalation dominates,
+            # start at full enumeration instead of paying the extra round
+            if n and init_rank < full_rank and n_done + n_esc > 0 \
+                    and n_esc > n_done:
+                self.rank_start = full_rank
+
+            # round 2: everything unresolved re-dispatches ONCE at full
+            # rank (always exact: the kernel applies the progressive-
+            # sensitivity semantics internally), exactly bin-packed
+            rem = np.nonzero(~done)[0]
+            if len(rem):
+                too_big = rem[ftot[rem] >= cap_max]
+                if len(too_big):
+                    # one read exceeding the big capacity: exact host replay
+                    mark_replay(too_big)
+                    done[too_big] = True
+                    rem = rem[ftot[rem] < cap_max]
+            return (dispatch_packs(rem, ftot[rem], full_rank,
+                                   collect_now=False) if len(rem) else [])
+
+        # Round-1 collection runs INLINE (not in the writer/background):
+        # a fetch RPC for a still-executing window parks on the tunnel
+        # connection and head-of-line blocks any later dispatch RPC, so
+        # collecting from another thread while the align thread enqueues
+        # the next block starves the device (measured: 640 ms/window vs
+        # 275 ms/window inline).  Only round 2's collection + replays are
+        # deferred to finish() — those fetches park AFTER the next block's
+        # round-1 dispatches have already reached the server.
+        pend2 = complete_rounds()
 
         def finish():
-            for sel, out in pend2:
-                collect(sel, out)
+            t0 = _time.time()
+            arrs2 = _fetch_all([o for _, o in pend2])
+            self.t_collect += _time.time() - t0
+            for (sel, _), arr in zip(pend2, arrs2):
+                collect(sel, arr)
             left = np.nonzero(~done)[0]
             if len(left):      # defensive: packed dispatches always fit
                 mark_replay(left)

@@ -49,7 +49,7 @@ from ..utils import myrand_hash
 from .device_engine import (DeviceEngine, EngineUnsupported, N_EXTRAS,
                             X_CHAIN, X_CHRP, X_FOUND, X_FTOT, X_II, X_OK,
                             X_REPLAY, X_SOFF, X_COFF, X_SSUM, X_WLOC,
-                            _pack_inputs)
+                            _fetch_all, _pack_inputs)
 from .host_engine import SEResult
 from .pair_host import PairHit, PairHostEngine, PairResult, fix_pair_read_name
 from ..trim import filter_read
@@ -361,8 +361,7 @@ class PairDeviceEngine:
             for cfg in (self._cfg(1, nw), self._cfg(2, nw)):
                 for cap in se.cands_tiers:
                     outs.append(se._dispatch(cfg, z, cap))
-        for o in outs:
-            np.asarray(o)
+        _fetch_all(outs)
 
     # -- the vectorized GetPairs sweep (pairs.cpp:34-135) ---------------------
 
@@ -575,8 +574,10 @@ class PairDeviceEngine:
                  for i in range(0, n, se.B)]
 
         def finish():
-            for sel, oa, ob in pend1:
-                collect_pair(sel, oa, ob, okp)
+            arrs1 = _fetch_all([o for p in pend1 for o in p[1:]])
+            for (sel, _, _), ra_, rb_ in zip(pend1, arrs1[0::2],
+                                             arrs1[1::2]):
+                collect_pair(sel, ra_, rb_, okp)
             join = self._join(rows_a, rows_b, la, lb, buds_a, buds_b,
                               rand_a)
             commit = okp & (join["paired"] == 1)   # i* == 0: exact
@@ -608,8 +609,10 @@ class PairDeviceEngine:
                     mass = int(csum[b0 - 1] - (csum[a0 - 1] if a0 else 0))
                     cap = se.CANDS if mass <= se.CANDS else se.CANDS_BIG
                     pend2.append(dispatch_span(rem[a0: b0], cap, MS - 1))
-                for sel, oa, ob in pend2:
-                    collect_pair(sel, oa, ob, ok2)
+                arrs2 = _fetch_all([o for p in pend2 for o in p[1:]])
+                for (sel, _, _), ra_, rb_ in zip(pend2, arrs2[0::2],
+                                                 arrs2[1::2]):
+                    collect_pair(sel, ra_, rb_, ok2)
                 for k in rem[~ok2[rem]]:             # defensive
                     rows_a[k] = 0
                     rows_a[k, 2 * MS + X_REPLAY] = 1
@@ -654,8 +657,9 @@ class PairDeviceEngine:
 
         def finish():
             t0 = _time.time()
-            for sel, out in pend1:
-                jrows[sel] = np.asarray(out)[: len(sel)]
+            arrs1 = _fetch_all([o for _, o in pend1])
+            for (sel, _), arr in zip(pend1, arrs1):
+                jrows[sel] = arr[: len(sel)]
             se.t_collect += _time.time() - t0
             ok = (jrows[:, J_FLAGS] >> 2) & 1
             paired = jrows[:, J_PAIR] & 31
@@ -685,8 +689,9 @@ class PairDeviceEngine:
                     cap = se.CANDS if mass <= se.CANDS else se.CANDS_BIG
                     pend2.append(dispatch(rem[a0: b0], cap, MS - 1))
                 t0 = _time.time()
-                for sel, out in pend2:
-                    jrows[sel] = np.asarray(out)[: len(sel)]
+                arrs2 = _fetch_all([o for _, o in pend2])
+                for (sel, _), arr in zip(pend2, arrs2):
+                    jrows[sel] = arr[: len(sel)]
                 se.t_collect += _time.time() - t0
                 bad = rem[((jrows[rem, J_FLAGS] >> 2) & 1) == 0]
                 jrows[bad] = 0

@@ -99,5 +99,4 @@ def _warmup_from_caches(gen_npz, idx_npz, param, pe, bsp, nw):
     fn = jax.jit(de._align_fused_kernel.__wrapped__,
                  static_argnames=("cfg", "CANDS"))
     outs = [fn(cfg, cap, *args, d_packed) for cfg, cap in jobs]
-    for o in outs:
-        np.asarray(o)   # force: server builds land in its program cache
+    de._fetch_all(outs)  # force (concurrently): server builds land in cache

@@ -96,6 +96,12 @@ def generate(out_dir: str, seed: int = 7, n_chr: int = 2,
         f"_{repeat_frac}.ok")
     if os.path.exists(stamp):
         return gpath, rpath
+    # genome.fa/reads.fq are shared filenames: drop stale stamps from other
+    # param sets so a later call with THOSE params regenerates instead of
+    # trusting a file this call is about to overwrite
+    import glob
+    for old in glob.glob(os.path.join(out_dir, f"gen{tag}_*.ok")):
+        os.remove(old)
     chrs = make_genome(seed, n_chr, chr_len, repeat_frac=repeat_frac)
     write_genome(gpath, chrs)
     write_fastq(rpath, make_reads(seed, chrs, n_reads, read_len))
