@@ -219,13 +219,25 @@ def run_rrbs_config():
     return run_config(gpath, rpath, "out_rrbs.sam", setup=setup)
 
 
+def retry_once(fn):
+    """One retry per config: the remote compile/execute service throws
+    transient INTERNAL errors (e.g. 'response body closed before all
+    bytes were read') that a fresh attempt survives."""
+    try:
+        return fn()
+    except Exception as e:   # noqa: BLE001
+        print(f"# transient failure, retrying once: {e}", file=sys.stderr,
+              flush=True)
+        return fn()
+
+
 def main() -> None:
     from tools.genreads import generate, generate_chr21
     mb = measured_baselines()
     se_base = mb.get("se_wgbs_100nt_v2", {}).get(
         "reads_per_sec", REF_BASELINE_READS_PER_SEC)
     gpath, rpath = generate(BENCH_DIR, n_reads=N_READS)
-    n, dt, phases = run_config(gpath, rpath, "out.sam")
+    n, dt, phases = retry_once(lambda: run_config(gpath, rpath, "out.sam"))
     value = n / dt
     print(json.dumps({
         "metric": "se_wgbs_100nt_v2_align_reads_per_sec",
@@ -266,7 +278,7 @@ def main() -> None:
     if os.environ.get("BSMAP_TPU_BENCH_PE", "1") != "0":
         # BASELINE config 2 class: PE throughput, reported alongside
         try:
-            n3, dt3, ph3 = run_pe_config()
+            n3, dt3, ph3 = retry_once(run_pe_config)
             pe_base = mb.get("pe_76nt", {}).get("pairs_per_sec", 0)
             vsb = f" (vs_ref {n3 / dt3 / pe_base:.2f}x)" if pe_base else ""
             print(f"# pe config: {n3} pairs in {dt3:.2f}s = "
@@ -278,7 +290,7 @@ def main() -> None:
     if os.environ.get("BSMAP_TPU_BENCH_RRBS", "1") != "0":
         # BASELINE config 3 class: RRBS + trimming (per-read exact path)
         try:
-            n4, dt4, ph4 = run_rrbs_config()
+            n4, dt4, ph4 = retry_once(run_rrbs_config)
             rb = mb.get("rrbs_mspi_trim", {}).get("reads_per_sec", 0)
             vsb = f" (vs_ref {n4 / dt4 / rb:.2f}x)" if rb else ""
             print(f"# rrbs config: {n4} reads in {dt4:.2f}s = "
@@ -294,8 +306,9 @@ def main() -> None:
         try:
             n21 = min(N_READS, 500_000)
             g21, r21 = generate_chr21(BENCH_DIR, n_reads=n21)
-            n2, dt2, ph2 = run_config(g21, r21, "out_chr21.sam",
-                                      read_end=n21)
+            n2, dt2, ph2 = retry_once(
+                lambda: run_config(g21, r21, "out_chr21.sam",
+                                   read_end=n21))
             c21 = mb.get("chr21_class", {}).get("reads_per_sec",
                                                 REF_BASELINE_READS_PER_SEC)
             print(f"# chr21 config: {n2} reads in {dt2:.2f}s = "

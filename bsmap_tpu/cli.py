@@ -571,8 +571,14 @@ def run_single_end_blocks(o: Options, engine, fmt, genome, timer,
     q_out: "queue.Queue" = queue.Queue(maxsize=4)
 
     def producer():
+        # geometric ramp (1, 2, 4, ... windows): the device starts on the
+        # first window after ~1/blk_win of the full-block parse time
+        # instead of idling through it; the parser outruns the device and
+        # catches up within a few blocks
+        size = getattr(engine, "B", BATCH_NUM)
         while True:
-            blk = stream.next_block(blk_n)
+            blk = stream.next_block(min(size, blk_n))
+            size *= 2
             if blk is not None and hasattr(engine, "encode_block"):
                 # native filter+encode here (GIL released): overlaps the
                 # previous block's device time instead of serializing

@@ -106,9 +106,14 @@ def run_pair_end_blocks(o, genome, engine, fmt, header: bool = True) -> int:
     q_out: "queue.Queue" = queue.Queue(maxsize=4)
 
     def producer():
+        # geometric first-block ramp, as in the SE pipeline: the device
+        # starts on a one-window block instead of idling through the full
+        # first parse
+        size = engine.se.B
         while True:
-            ba = sa.next_block(blk_n)
-            bb = sb.next_block(blk_n)
+            ba = sa.next_block(min(size, blk_n))
+            bb = sb.next_block(min(size, blk_n))
+            size *= 2
             if ba is None or bb is None or len(ba) != len(bb):
                 q_in.put(None)
                 break
